@@ -6,6 +6,16 @@ from infodiffusion_tpu.diffusion.schedule import (
     ddim_step,
     ddim_reverse_step,
     predict_x0_from_eps,
+    strided_ddim_step,
+)
+from infodiffusion_tpu.diffusion.samplers import (
+    DiffusionProcess,
+    LatentDiffusionProcess,
+    TwoPhaseDiffusionProcess,
+    reverse_sample_loop,
+    sample_loop,
+    strided_ddim_loop,
+    two_phase_sample_loop,
 )
 
 __all__ = [
@@ -16,4 +26,12 @@ __all__ = [
     "ddim_step",
     "ddim_reverse_step",
     "predict_x0_from_eps",
+    "strided_ddim_step",
+    "DiffusionProcess",
+    "TwoPhaseDiffusionProcess",
+    "LatentDiffusionProcess",
+    "sample_loop",
+    "reverse_sample_loop",
+    "two_phase_sample_loop",
+    "strided_ddim_loop",
 ]

@@ -1,0 +1,328 @@
+"""Whole-trajectory samplers as single ``lax.scan`` programs.
+
+The reference drives every trajectory from Python — T=1000 host-side
+steps, each one a separate CUDA launch + generator ``yield``
+(reference: sampling.py:23-101). Here a full trajectory is ONE jitted
+XLA program: the scan body does eps-prediction + the update algebra
+entirely on device, so sampling has zero host round-trips — the single
+biggest TPU win identified in SURVEY.md §3.2.
+
+Sampler families (API parity with reference classes):
+
+- ``sample_loop``          : DDPM ancestral / stochastic DDIM (eta=0.01)
+                             over the full T grid (sampling.py:23-60).
+- ``reverse_sample_loop``  : deterministic forward DDIM encoding x0->xT
+                             (sampling.py:62-73).
+- ``two_phase_sample_loop``: conditional/unconditional model switch at
+                             ``split_step`` (sampling.py:104-204). The
+                             reference's loop binds its phase counter
+                             once, so its phase-2 model runs the whole
+                             trajectory (sampling.py:199-203) — that
+                             quirk is available behind
+                             ``reference_quirk=True``; default is the
+                             *intended* split semantics.
+- ``strided_ddim_loop``    : DDIM-N on a subsampled grid — a new fast
+                             path the reference lacks (it always walks
+                             all T steps).
+
+Conventions: ``eps_fn(x, t, a)`` / ``eps_fn2(x, t)`` are closures over
+model params (callers jit the whole loop with params as an argument);
+``t`` is an int32 [B] array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+
+from infodiffusion_tpu.diffusion.schedule import (
+    DEFAULT_ETA,
+    Schedule,
+    ddim_reverse_step,
+    ddim_step,
+    ddpm_step,
+    strided_ddim_step,
+)
+
+
+def _full_t(x: jnp.ndarray, idx) -> jnp.ndarray:
+    return jnp.full((x.shape[0],), idx, dtype=jnp.int32)
+
+
+def sample_loop(
+    eps_fn: Callable,
+    sched: Schedule,
+    xT: jnp.ndarray,
+    key: jax.Array,
+    a: Optional[jnp.ndarray] = None,
+    *,
+    deterministic: bool = False,
+    eta: float = DEFAULT_ETA,
+) -> jnp.ndarray:
+    """Full-grid reverse diffusion (reference: sampling.py:23-60,89-101).
+
+    ``deterministic=True`` selects the stochastic-DDIM (eta=0.01) branch
+    like the reference's ``--deterministic`` flag; otherwise DDPM."""
+    idxs = jnp.arange(sched.T - 1, -1, -1)
+
+    def body(carry, idx):
+        x, key = carry
+        key, k = jr.split(key)
+        eps = eps_fn(x, _full_t(x, idx), a)
+        noise = jr.normal(k, x.shape, dtype=x.dtype)
+        if deterministic:
+            x = ddim_step(sched, x, idx, eps, noise, eta=eta)
+        else:
+            noise = jnp.where(idx == 0, jnp.zeros_like(noise), noise)
+            x = ddpm_step(sched, x, idx, eps, noise)
+        return (x, key), None
+
+    (x, _), _ = lax.scan(body, (xT, key), idxs)
+    return x
+
+
+def reverse_sample_loop(
+    eps_fn: Callable,
+    sched: Schedule,
+    x0: jnp.ndarray,
+    a: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Deterministic DDIM encoding x0 -> xT (reference: sampling.py:62-73):
+    iterates idx = 0..T-2 with a no-op at idx 0 (so the scan starts at 1)."""
+    idxs = jnp.arange(1, sched.T - 1)
+
+    def body(x, idx):
+        eps = eps_fn(x, _full_t(x, idx), a)
+        return ddim_reverse_step(sched, x, idx, eps), None
+
+    x, _ = lax.scan(body, x0, idxs)
+    return x
+
+
+def two_phase_sample_loop(
+    eps_fn_cond: Callable,
+    eps_fn_uncond: Callable,
+    sched: Schedule,
+    xT: jnp.ndarray,
+    key: jax.Array,
+    a: jnp.ndarray,
+    split_step: int,
+    *,
+    deterministic: bool = False,
+    eta: float = DEFAULT_ETA,
+    reference_quirk: bool = False,
+) -> jnp.ndarray:
+    """Two-phase sampling (reference: sampling.py:104-204).
+
+    Phase counter ``n`` counts completed steps from xT; steps with
+    ``n <= split_step`` (the high-noise phase) use the unconditional
+    model, the rest the conditional one (sampling.py:136-139,153-156).
+    ``reference_quirk=True`` reproduces the reference's dead branch where
+    the counter never advances (sampling.py:199-203)."""
+    idxs = jnp.arange(sched.T - 1, -1, -1)
+    steps = jnp.arange(sched.T)  # n = 0, 1, ... alongside descending idx
+
+    def body(carry, scan_in):
+        idx, n = scan_in
+        x, key = carry
+        key, k = jr.split(key)
+        t = _full_t(x, idx)
+        if reference_quirk:
+            eps = eps_fn_uncond(x, t)
+        else:
+            eps = lax.cond(
+                n <= split_step,
+                lambda x_t: eps_fn_uncond(x_t[0], x_t[1]),
+                lambda x_t: eps_fn_cond(x_t[0], x_t[1], a),
+                (x, t),
+            )
+        noise = jr.normal(k, x.shape, dtype=x.dtype)
+        if deterministic:
+            x = ddim_step(sched, x, idx, eps, noise, eta=eta)
+        else:
+            noise = jnp.where(idx == 0, jnp.zeros_like(noise), noise)
+            x = ddpm_step(sched, x, idx, eps, noise)
+        return (x, key), None
+
+    (x, _), _ = lax.scan(body, (xT, key), (idxs, steps))
+    return x
+
+
+def strided_ddim_loop(
+    eps_fn: Callable,
+    sched: Schedule,
+    xT: jnp.ndarray,
+    key: jax.Array,
+    a: Optional[jnp.ndarray] = None,
+    *,
+    num_steps: int = 100,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """Fast DDIM-N over a subsampled timestep grid (new capability; the
+    reference always iterates all T steps — SURVEY.md §C11). Grid is the
+    standard even spacing 0..T-1 in ``num_steps`` points, walked from
+    high noise to t_prev=-1 (exact landing on x0)."""
+    ts = jnp.linspace(0, sched.T - 1, num_steps).round().astype(jnp.int32)[::-1]
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+
+    def body(carry, scan_in):
+        t, t_prev = scan_in
+        x, key = carry
+        key, k = jr.split(key)
+        eps = eps_fn(x, _full_t(x, t), a)
+        noise = jr.normal(k, x.shape, dtype=x.dtype)
+        noise = jnp.where(t_prev < 0, jnp.zeros_like(noise), noise)
+        x = strided_ddim_step(sched, x, t, t_prev, eps, noise, eta=eta)
+        return (x, key), None
+
+    (x, _), _ = lax.scan(body, (xT, key), (ts, ts_prev))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Class wrappers with the reference's DiffusionProcess API surface
+# (construction from a model + params; .sampling / .reverse_sampling).
+# Each caches one jitted end-to-end trajectory program per shape.
+# ---------------------------------------------------------------------------
+
+
+class DiffusionProcess:
+    """API-parity wrapper (reference: sampling.py:3-101).
+
+    ``model`` is an InfoDiff/Diff Flax module; ``params`` its variables.
+    ``sampling`` draws xT ~ N(0, I) (and a ~ N(0, I_a) for conditional
+    models) when not given, like the reference (sampling.py:89-101).
+    """
+
+    def __init__(self, cfg, model, params, shape=None):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        # shape in reference (C, H, W) convention -> NHWC here
+        c, h, w = shape if shape is not None else cfg.shape
+        self.data_shape = (h, w, c)
+        self.is_conditional = cfg.model != "vanilla"
+        from infodiffusion_tpu.diffusion.schedule import make_schedule
+
+        self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
+        self._jit_sample = jax.jit(self._sample_impl)
+        self._jit_reverse = jax.jit(self._reverse_impl)
+        self._jit_strided = jax.jit(
+            self._strided_impl, static_argnames=("num_steps",)
+        )
+
+    def _eps_fn(self, params):
+        if self.is_conditional:
+            return lambda x, t, a: self.model.apply(params, x, t, a)
+        return lambda x, t, a: self.model.apply(params, x, t)
+
+    def _sample_impl(self, params, xT, a, key):
+        return sample_loop(
+            self._eps_fn(params), self.sched, xT, key, a,
+            deterministic=self.cfg.deterministic,
+        )
+
+    def _reverse_impl(self, params, x0, a):
+        return reverse_sample_loop(self._eps_fn(params), self.sched, x0, a)
+
+    def _strided_impl(self, params, xT, a, key, num_steps):
+        return strided_ddim_loop(
+            self._eps_fn(params), self.sched, xT, key, a, num_steps=num_steps
+        )
+
+    def sampling(self, key, sampling_number=16, xT=None, a=None, num_steps=None):
+        k_x, k_a, k_s = jr.split(key, 3)
+        if xT is None:
+            xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
+        if self.is_conditional and a is None:
+            a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
+        if num_steps is None:
+            num_steps = self.cfg.sampling_steps
+        if num_steps is not None:
+            return self._jit_strided(self.params, xT, a, k_s, num_steps=num_steps)
+        return self._jit_sample(self.params, xT, a, k_s)
+
+    def reverse_sampling(self, x0, a=None):
+        return self._jit_reverse(self.params, x0, a)
+
+
+class TwoPhaseDiffusionProcess:
+    """API-parity wrapper (reference: sampling.py:104-204). fn_1 is the
+    conditional InfoDiff, fn_2 the unconditional vanilla Diff."""
+
+    def __init__(self, cfg, model1, params1, model2, params2, shape=None):
+        self.cfg = cfg
+        self.model1, self.params1 = model1, params1
+        self.model2, self.params2 = model2, params2
+        c, h, w = shape if shape is not None else cfg.shape
+        self.data_shape = (h, w, c)
+        from infodiffusion_tpu.diffusion.schedule import make_schedule
+
+        self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
+        self._jit_sample = jax.jit(self._sample_impl)
+        self._jit_reverse = jax.jit(self._reverse_impl)
+
+    def _sample_impl(self, params1, params2, xT, a, key):
+        cond = lambda x, t, a_: self.model1.apply(params1, x, t, a_)
+        uncond = lambda x, t: self.model2.apply(params2, x, t)
+        return two_phase_sample_loop(
+            cond, uncond, self.sched, xT, key, a, self.cfg.split_step,
+            deterministic=self.cfg.deterministic,
+            reference_quirk=self.cfg.two_phase_reference_quirk,
+        )
+
+    def _reverse_impl(self, params1, x0, a):
+        cond = lambda x, t, a_: self.model1.apply(params1, x, t, a_)
+        return reverse_sample_loop(cond, self.sched, x0, a)
+
+    def sampling(self, key, sampling_number=16, xT=None, a=None):
+        k_x, k_a, k_s = jr.split(key, 3)
+        if xT is None:
+            xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
+        if a is None:
+            a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
+        return self._jit_sample(self.params1, self.params2, xT, a, k_s)
+
+    def reverse_sampling(self, x0, a=None):
+        return self._jit_reverse(self.params1, x0, a)
+
+
+class LatentDiffusionProcess:
+    """Sampler over the a_dim latent space with the trained LatentUNet
+    (reference: sampling.py:207-292)."""
+
+    def __init__(self, cfg, model, params):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        from infodiffusion_tpu.diffusion.schedule import make_schedule
+
+        self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
+        self._jit_sample = jax.jit(self._sample_impl)
+        self._jit_reverse = jax.jit(self._reverse_impl)
+
+    def _eps_fn(self, params):
+        return lambda x, t, a: self.model.apply(params, x, t)
+
+    def _sample_impl(self, params, xT, key):
+        return sample_loop(
+            self._eps_fn(params), self.sched, xT, key, None,
+            deterministic=self.cfg.deterministic,
+        )
+
+    def _reverse_impl(self, params, x0):
+        return reverse_sample_loop(self._eps_fn(params), self.sched, x0, None)
+
+    def sampling(self, key, sampling_number=16, xT=None):
+        k_x, k_s = jr.split(key)
+        if xT is None:
+            xT = jr.normal(k_x, (sampling_number, self.cfg.a_dim))
+        return self._jit_sample(self.params, xT, k_s)
+
+    def reverse_sampling(self, x0):
+        return self._jit_reverse(self.params, x0)

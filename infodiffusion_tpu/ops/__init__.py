@@ -1,0 +1,27 @@
+"""Hot-path ops: fused-kernel tier (SURVEY.md §2.2).
+
+The reference has no native code; its hot blocks are plain torch ops.
+Here each hot op has a reference XLA implementation and (where it pays
+off) a fused Pallas TPU kernel behind the same signature:
+
+- ``adagn``: GroupNorm + N FiLM modulations fused (the AdaGN double
+  modulate of AuxResBlock, reference: modules.py:312-318).
+- ``single_head_attention``: softmax(q k^T / sqrt(C)) v over H*W tokens
+  (reference: modules.py:145-164).
+- ``pairwise_rbf_mmd``: the InfoVAE MMD with the reference's /dim^2
+  bandwidth quirk (reference: utils.py:74-90), formulated on the MXU.
+
+Set ``INFODIFF_DISABLE_PALLAS=1`` to force the XLA paths everywhere.
+"""
+
+from infodiffusion_tpu.ops.norm import adagn, group_norm
+from infodiffusion_tpu.ops.attention import single_head_attention
+from infodiffusion_tpu.ops.mmd import compute_kernel, compute_mmd
+
+__all__ = [
+    "adagn",
+    "group_norm",
+    "single_head_attention",
+    "compute_kernel",
+    "compute_mmd",
+]

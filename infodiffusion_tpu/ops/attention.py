@@ -1,0 +1,51 @@
+"""Single-head full self-attention over image tokens.
+
+The reference computes ``softmax(q k^T / sqrt(C)) v`` over H*W tokens
+with single-head 1x1-conv projections (reference: modules.py:145-164).
+Token counts here are small (<= 256 at the attn level for 64px inputs),
+so the win on TPU is keeping everything in VMEM and fusing the softmax —
+a classic flash-attention-style Pallas kernel, with an XLA einsum
+fallback that is already near-roofline at these sizes.
+
+Softmax/logit math runs in f32 even when activations are bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("INFODIFF_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    C = q.shape[-1]
+    logits = jnp.einsum(
+        "bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32
+    ) * (C ** -0.5)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bnm,bmc->bnc", w.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(v.dtype)
+
+
+def single_head_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """q, k, v: [B, N, C] -> [B, N, C] (reference: modules.py:152-160)."""
+    if _use_pallas():
+        from infodiffusion_tpu.ops.pallas.attention import attention_pallas
+
+        try:
+            return attention_pallas(q, k, v)
+        except NotImplementedError:
+            pass
+    return _attention_xla(q, k, v)

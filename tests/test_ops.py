@@ -1,0 +1,86 @@
+"""Unit tests for the hot ops vs numpy oracles (SURVEY.md §4.1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import jax.random as jr
+
+from infodiffusion_tpu.ops import (
+    adagn,
+    compute_kernel,
+    compute_mmd,
+    group_norm,
+    single_head_attention,
+)
+
+
+def _np_group_norm(x, groups, scale, bias, eps=1e-5):
+    B, H, W, C = x.shape
+    xr = x.reshape(B, H * W, groups, C // groups).astype(np.float64)
+    mean = xr.mean(axis=(1, 3), keepdims=True)
+    var = xr.var(axis=(1, 3), keepdims=True)
+    h = (xr - mean) / np.sqrt(var + eps)
+    return h.reshape(x.shape) * scale + bias
+
+
+def test_group_norm_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 4, 8).astype(np.float32)
+    scale = rng.randn(8).astype(np.float32)
+    bias = rng.randn(8).astype(np.float32)
+    got = group_norm(jnp.asarray(x), 4, jnp.asarray(scale), jnp.asarray(bias))
+    want = _np_group_norm(x, 4, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_adagn_dual_film():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 4, 4, 8).astype(np.float32)
+    scale = np.ones(8, np.float32)
+    bias = np.zeros(8, np.float32)
+    s_t, b_t = rng.randn(2, 8).astype(np.float32), rng.randn(2, 8).astype(np.float32)
+    s_a, b_a = rng.randn(2, 8).astype(np.float32), rng.randn(2, 8).astype(np.float32)
+    got = adagn(
+        jnp.asarray(x), 4, jnp.asarray(scale), jnp.asarray(bias),
+        [(jnp.asarray(s_t), jnp.asarray(b_t)), (jnp.asarray(s_a), jnp.asarray(b_a))],
+    )
+    h = _np_group_norm(x, 4, scale, bias)
+    h = h * (1 + s_t[:, None, None, :]) + b_t[:, None, None, :]
+    h = h * (1 + s_a[:, None, None, :]) + b_a[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), h, atol=1e-4)
+
+
+def test_mmd_matches_reference_formula():
+    """Oracle reproduces utils.py:74-90 incl. the /dim^2 bandwidth quirk."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(6, 4).astype(np.float32)
+    y = rng.randn(5, 4).astype(np.float32)
+
+    def np_kernel(x, y):
+        d = x.shape[1]
+        tiled_x = x[:, None, :]
+        tiled_y = y[None, :, :]
+        return np.exp(-np.mean((tiled_x - tiled_y) ** 2, axis=2) / d)
+
+    got_k = np.asarray(compute_kernel(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got_k, np_kernel(x, y), atol=1e-5)
+
+    want = (
+        np_kernel(x, x).mean() + np_kernel(y, y).mean() - 2 * np_kernel(x, y).mean()
+    )
+    got = float(compute_mmd(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_attention_matches_numpy():
+    rng = np.random.RandomState(3)
+    q = rng.randn(2, 16, 8).astype(np.float32)
+    k = rng.randn(2, 16, 8).astype(np.float32)
+    v = rng.randn(2, 16, 8).astype(np.float32)
+    got = np.asarray(
+        single_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    )
+    logits = np.einsum("bnc,bmc->bnm", q, k) / np.sqrt(8)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want = np.einsum("bnm,bmc->bnc", w, v)
+    np.testing.assert_allclose(got, want, atol=1e-4)

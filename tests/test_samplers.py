@@ -1,0 +1,190 @@
+"""Sampler algebra parity: the lax.scan trajectories must match a
+hand-rolled Python loop implementing the reference's update rules
+verbatim (reference: sampling.py:23-101; SURVEY.md §4.1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from infodiffusion_tpu.diffusion import (
+    make_schedule,
+    reverse_sample_loop,
+    sample_loop,
+    strided_ddim_loop,
+    two_phase_sample_loop,
+)
+
+T = 8
+SCHED = make_schedule(1e-5, 1e-2, T)
+
+
+def _linear_eps_fn(w):
+    """A fake 'model': eps = w * x (+ a-term if conditioned)."""
+
+    def fn(x, t, a=None):
+        out = w * x
+        if a is not None:
+            out = out + 0.01 * jnp.mean(a)
+        return out
+
+    return fn
+
+
+def _np_ref_ddpm(x, eps_fn, noises):
+    b = np.linspace(1e-5, 1e-2, T, dtype=np.float32)
+    al = 1 - b
+    ab = np.cumprod(al)
+    apb = np.concatenate([[1.0], ab[:-1]]).astype(np.float32)
+    for i, idx in enumerate(reversed(range(T))):
+        noise = np.zeros_like(x) if idx == 0 else noises[i]
+        stb = np.sqrt((1 - apb[idx]) / (1 - ab[idx]) * b[idx])
+        eps = eps_fn(x, idx)
+        mu = np.sqrt(1 / al[idx]) * (x - b[idx] / np.sqrt(1 - ab[idx]) * eps)
+        x = mu + stb * noise
+    return x
+
+
+def _np_ref_ddim(x, eps_fn, noises, eta=0.01):
+    b = np.linspace(1e-5, 1e-2, T, dtype=np.float32)
+    al = 1 - b
+    ab = np.cumprod(al)
+    apb = np.concatenate([[1.0], ab[:-1]]).astype(np.float32)
+    for i, idx in enumerate(reversed(range(T))):
+        eps = eps_fn(x, idx)
+        x0 = (x - np.sqrt(1 - apb[idx]) * eps) / np.sqrt(apb[idx])
+        if idx == 0:
+            x = x0
+        else:
+            sigma = (
+                eta
+                * np.sqrt((1 - apb[idx - 1]) / (1 - ab[idx - 1]))
+                * np.sqrt(b[idx - 1])
+            )
+            x = (
+                np.sqrt(apb[idx - 1]) * x0
+                + np.sqrt(1 - apb[idx - 1] - sigma**2) * eps
+                + sigma * noises[i]
+            )
+    return x
+
+
+def _np_ref_reverse(x, eps_fn):
+    b = np.linspace(1e-5, 1e-2, T, dtype=np.float32)
+    ab = np.cumprod(1 - b)
+    apb = np.concatenate([[1.0], ab[:-1]]).astype(np.float32)
+    for idx in range(T - 1):
+        if idx == 0:
+            continue
+        eps = eps_fn(x, idx)
+        x0 = (x - np.sqrt(1 - apb[idx]) * eps) / np.sqrt(apb[idx])
+        x = np.sqrt(apb[idx + 1]) * x0 + np.sqrt(1 - apb[idx + 1]) * eps
+    return x
+
+
+def _collect_noises(key, shape, n):
+    """Replicates the scan's split sequence: key splits per step; the
+    noise at step i uses the second half of split i."""
+    ks = []
+    for _ in range(n):
+        key, k = jr.split(key)
+        ks.append(np.asarray(jr.normal(k, shape, dtype=jnp.float32)))
+    return ks
+
+
+def test_ddpm_matches_reference_loop():
+    key = jr.PRNGKey(0)
+    x0 = jr.normal(jr.PRNGKey(9), (2, 4, 4, 1))
+    w = 0.1
+    got = sample_loop(_linear_eps_fn(w), SCHED, x0, key, deterministic=False)
+    noises = _collect_noises(key, x0.shape, T)
+    want = _np_ref_ddpm(np.asarray(x0), lambda x, i: w * x, noises)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_ddim_matches_reference_loop():
+    key = jr.PRNGKey(1)
+    x0 = jr.normal(jr.PRNGKey(8), (2, 4, 4, 1))
+    w = 0.1
+    got = sample_loop(_linear_eps_fn(w), SCHED, x0, key, deterministic=True)
+    noises = _collect_noises(key, x0.shape, T)
+    want = _np_ref_ddim(np.asarray(x0), lambda x, i: w * x, noises)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_reverse_ddim_matches_reference_loop():
+    x0 = jr.normal(jr.PRNGKey(7), (2, 4, 4, 1))
+    w = 0.1
+    got = reverse_sample_loop(_linear_eps_fn(w), SCHED, x0)
+    want = _np_ref_reverse(np.asarray(x0), lambda x, i: w * x)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_two_phase_switches_models():
+    """Intended semantics: first split_step+1 steps use the unconditional
+    model, the rest the conditional one (reference *intent*,
+    sampling.py:136-139; the reference's own loop never advances t —
+    sampling.py:199-203 — reproduced under reference_quirk=True)."""
+    key = jr.PRNGKey(2)
+    x0 = jr.normal(jr.PRNGKey(6), (1, 4, 4, 1))
+    a = jnp.ones((1, 3))
+    cond_calls = []
+
+    w1, w2 = 0.5, 0.1
+    cond = lambda x, t, a_: w1 * x
+    uncond = lambda x, t: w2 * x
+
+    # split_step >= T-1 -> always uncond == plain sampling with w2
+    got_all2 = two_phase_sample_loop(
+        cond, uncond, SCHED, x0, key, a, split_step=T, deterministic=True
+    )
+    want_all2 = sample_loop(_linear_eps_fn(w2), SCHED, x0, key, deterministic=True)
+    # _linear_eps_fn adds an a-term when conditioned; build exact uncond
+    want_all2 = sample_loop(lambda x, t, a_: w2 * x, SCHED, x0, key,
+                            deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_all2), np.asarray(want_all2),
+                               atol=1e-6)
+
+    # quirk mode ignores split_step entirely
+    got_quirk = two_phase_sample_loop(
+        cond, uncond, SCHED, x0, key, a, split_step=0, deterministic=True,
+        reference_quirk=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_quirk), np.asarray(want_all2),
+                               atol=1e-6)
+
+    # split at 2: differs from both pure trajectories
+    got_mix = two_phase_sample_loop(
+        cond, uncond, SCHED, x0, key, a, split_step=2, deterministic=True
+    )
+    assert not np.allclose(np.asarray(got_mix), np.asarray(want_all2))
+
+
+def test_strided_ddim_endpoints():
+    """DDIM-N with N=T and eta=0 should land near the full deterministic
+    trajectory's x0 estimate; and must be finite/correct shape for small N."""
+    x0 = jr.normal(jr.PRNGKey(5), (2, 4, 4, 1))
+    key = jr.PRNGKey(3)
+    out = strided_ddim_loop(
+        lambda x, t, a: 0.1 * x, SCHED, x0, key, num_steps=4, eta=0.0
+    )
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampler_is_single_compiled_program():
+    """The whole trajectory jits into one XLA program (no per-step
+    recompiles): trace count == 1."""
+    traces = []
+
+    def eps(x, t, a=None):
+        traces.append(1)
+        return 0.1 * x
+
+    f = jax.jit(
+        lambda x, key: sample_loop(eps, SCHED, x, key, deterministic=True)
+    )
+    x0 = jnp.ones((1, 4, 4, 1))
+    f(x0, jr.PRNGKey(0))
+    f(x0 + 1, jr.PRNGKey(1))
+    assert sum(traces) == 1  # traced once inside one scan
