@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: DDIM-100 sampling throughput on the flagship
+InfoDiffusion model (CelebA-64 canonical config: AuxiliaryUNet ch=64,
+ch_mult=[1,2,2,2], a_dim=256, T=1000 — BASELINE.md), one chip.
+
+Prints ONE JSON line:
+  {"metric": "ddim100_samples_per_sec", "value": N, "unit": "samples/s",
+   "vs_baseline": N / A100_EST}
+
+vs_baseline scaling: the reference publishes no numbers (BASELINE.md) and
+always samples the full T=1000 grid host-driven. A100_DDIM100_EST is an
+*estimate* of a PyTorch DDIM-100 sampler for this UNet on one A100
+(35M-param UNet, batch 64, eager torch): ~30 samples/s. The north-star
+target is >=5x that (BASELINE.json). The estimate is fixed across rounds
+so the trend is comparable.
+
+Env knobs: INFODIFF_BENCH_BATCH (default 64), INFODIFF_BENCH_STEPS (100),
+INFODIFF_BENCH_REPS (3), INFODIFF_BENCH_BF16 (default 1).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+A100_DDIM100_EST = 30.0  # samples/s, documented estimate (see module doc)
+
+
+def main():
+    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "64"))
+    steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
+    reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))
+    use_bf16 = os.environ.get("INFODIFF_BENCH_BF16", "1") == "1"
+
+    from infodiffusion_tpu.diffusion import make_schedule, strided_ddim_loop
+    from infodiffusion_tpu.models import InfoDiff
+
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model = InfoDiff(
+        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        encoder_channels=64, mmd_weight=0.1, epochs=50, dtype=dtype,
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    t0 = jnp.zeros((1,), jnp.int32)
+    a0 = jnp.zeros((1, 256))
+    rngs = {
+        "params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+        "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3),
+    }
+    variables = jax.jit(lambda: model.init(rngs, x, t0, a0))()
+    sched = make_schedule(1e-5, 1e-2, 1000)
+
+    def eps_fn(variables):
+        return lambda x, t, a: model.apply(variables, x, t, a)
+
+    @jax.jit
+    def sample(variables, xT, a, key):
+        return strided_ddim_loop(
+            eps_fn(variables), sched, xT, key, a, num_steps=steps
+        )
+
+    key = jr.PRNGKey(0)
+    xT = jr.normal(key, (batch, 64, 64, 3), dtype=dtype)
+    a = jr.normal(key, (batch, 256), dtype=dtype)
+
+    # compile + warmup
+    out = sample(variables, xT, a, key)
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(reps):
+        k = jr.fold_in(key, i)
+        t_start = time.perf_counter()
+        out = sample(variables, xT, a, k)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t_start)
+
+    best = min(times)
+    sps = batch / best
+    print(
+        json.dumps(
+            {
+                "metric": "ddim100_samples_per_sec",
+                "value": round(sps, 3),
+                "unit": "samples/s",
+                "vs_baseline": round(sps / A100_DDIM100_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

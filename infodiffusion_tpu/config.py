@@ -80,6 +80,9 @@ class Config:
     tb_logger: bool = False
     is_latent: bool = False
     is_bottleneck: bool = False
+    # accepted-for-script-parity flag (the reference's shell scripts pass
+    # --disent_metric though its argparse never defined it; see cli.py)
+    disent_metric: str = "tad"
 
     # --- TPU-native knobs (no reference counterpart) ---
     # Number of sampler steps; None => full T grid like the reference

@@ -1,0 +1,213 @@
+"""Disentanglement metrics: DCI, TAD, latent-classification probes
+(reference: eval_disentanglement.py:88-363).
+
+CPU/sklearn like the reference (these are offline metrics over [N, a_dim]
+latents; SURVEY.md §6 notes the reference also runs them on CPU). The TAD
+mutual-information matrix is vectorized with joint-probability matmuls
+instead of the reference's O(dim_y^2) Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.stats
+
+
+# ---------------------------------------------------------------------------
+# DCI (reference: eval_disentanglement.py:88-150, after disentanglement_lib)
+# ---------------------------------------------------------------------------
+
+
+def compute_importance_gbt(x_train, y_train, x_test, y_test):
+    """Importance matrix [num_codes, num_factors] from gradient boosted
+    trees, plus train/test accuracies. Inputs are [num_codes, N] /
+    [num_factors, N] like the reference."""
+    from sklearn.ensemble import GradientBoostingClassifier
+
+    num_factors = y_train.shape[0]
+    num_codes = x_train.shape[0]
+    importance = np.zeros([num_codes, num_factors], dtype=np.float64)
+    train_acc, test_acc = [], []
+    for i in range(num_factors):
+        model = GradientBoostingClassifier()
+        model.fit(x_train.T, y_train[i, :])
+        importance[:, i] = np.abs(model.feature_importances_)
+        train_acc.append(np.mean(model.predict(x_train.T) == y_train[i, :]))
+        test_acc.append(np.mean(model.predict(x_test.T) == y_test[i, :]))
+    return importance, np.mean(train_acc), np.mean(test_acc)
+
+
+def disentanglement_per_code(importance_matrix):
+    return 1.0 - scipy.stats.entropy(
+        importance_matrix.T + 1e-11, base=importance_matrix.shape[1]
+    )
+
+
+def disentanglement(importance_matrix):
+    per_code = disentanglement_per_code(importance_matrix)
+    if importance_matrix.sum() == 0.0:
+        importance_matrix = np.ones_like(importance_matrix)
+    code_importance = importance_matrix.sum(axis=1) / importance_matrix.sum()
+    return np.sum(per_code * code_importance)
+
+
+def completeness_per_factor(importance_matrix):
+    return 1.0 - scipy.stats.entropy(
+        importance_matrix + 1e-11, base=importance_matrix.shape[0]
+    )
+
+
+def completeness(importance_matrix):
+    per_factor = completeness_per_factor(importance_matrix)
+    if importance_matrix.sum() == 0.0:
+        importance_matrix = np.ones_like(importance_matrix)
+    factor_importance = importance_matrix.sum(axis=0) / importance_matrix.sum()
+    return np.sum(per_factor * factor_importance)
+
+
+def compute_dci(mus_train, ys_train, mus_test, ys_test) -> Dict:
+    """DCI scores; inputs [num_codes, N] / [num_factors, N]."""
+    importance, train_err, test_err = compute_importance_gbt(
+        mus_train, ys_train, mus_test, ys_test
+    )
+    return {
+        "informativeness_train": train_err,
+        "informativeness_test": test_err,
+        "importance": importance,
+        "disentanglement": disentanglement(importance),
+        "completeness": completeness(importance),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Latent-classification probe (reference: eval_disentanglement.py:153-212)
+# ---------------------------------------------------------------------------
+
+
+class PredMetric:
+    """Per-attribute classifier probe: AUROC for binary ('b') targets,
+    accuracy for categorical ('c')."""
+
+    def __init__(self, predictor="RandomForest", output_type="b",
+                 attr_names=None):
+        from sklearn.ensemble import RandomForestClassifier
+        from sklearn.linear_model import LogisticRegression
+
+        self.attr_names = attr_names
+        self._predictor = predictor
+        self.output_type = output_type
+        if predictor == "Linear":
+            self.predictor_class = LogisticRegression
+            self.params = {}
+            self.importances_attr = "coef_"
+        elif predictor == "RandomForest":
+            self.predictor_class = RandomForestClassifier
+            self.importances_attr = "feature_importances_"
+            self.params = {"oob_score": True}
+        else:
+            raise NotImplementedError(predictor)
+
+    def evaluate(self, train_codes, train_attrs, test_codes, test_attrs):
+        from sklearn.metrics import accuracy_score, roc_auc_score
+
+        results = []
+        for j in range(train_attrs.shape[-1]):
+            predictor = self.predictor_class(**self.params)
+            predictor.fit(train_codes, train_attrs[:, j])
+            if self.output_type == "b":
+                prob = predictor.predict_proba(test_codes)[:, 1]
+                r = roc_auc_score(test_attrs[:, j], prob)
+            else:
+                pred = predictor.predict(test_codes)
+                r = accuracy_score(test_attrs[:, j], pred)
+            results.append(r)
+        results = np.asarray(results)
+        return {
+            f"{self._predictor}_avg_result": results.mean(),
+            f"{self._predictor}_result": results,
+        }
+
+
+# ---------------------------------------------------------------------------
+# TAD (reference: eval_disentanglement.py:236-363, after NashAE)
+# ---------------------------------------------------------------------------
+
+
+def _binary_mi_matrix(y: np.ndarray) -> np.ndarray:
+    """Pairwise MI between binary attribute columns, vectorized.
+
+    mi[i,j] = sum over the four (F/T, F/T) joint cells of
+    jp * log(jp / (p_i * p_j)), with 0 contribution when any prob is 0
+    (reference: eval_disentanglement.py:323-355)."""
+    y = y.astype(np.float64)
+    n, d = y.shape
+    ny = 1.0 - y
+    p1 = y.mean(axis=0)
+    p0 = 1.0 - p1
+
+    def cell(a, b, pa, pb):
+        jp = (a.T @ b) / n  # [d, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = jp * np.log(jp / np.outer(pa, pb))
+        term[~np.isfinite(term)] = 0.0
+        return term
+
+    mi = (
+        cell(ny, ny, p0, p0)
+        + cell(ny, y, p0, p1)
+        + cell(y, ny, p1, p0)
+        + cell(y, y, p1, p1)
+    )
+    return mi
+
+
+class TADMetric:
+    """Total AUROC Difference: per attribute, the margin between the best
+    and second-best single-latent detector, summed over attributes whose
+    best AUROC >= 0.75 and whose label is sufficiently *distinct* (its
+    entropy reduction from the most-informative other label <= 0.2)."""
+
+    def __init__(self, y_dim: int, all_attrs: Optional[Sequence[str]] = None):
+        self.y_dim = y_dim
+        self.all_attrs = all_attrs
+
+    def aurocs_search(self, a: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """[y_dim, a_dim] best-of-both-signs AUROC grid
+        (reference: eval_disentanglement.py:285-297)."""
+        from sklearn.metrics import roc_auc_score
+
+        y_dim, a_dim = y.shape[1], a.shape[1]
+        out = np.full((y_dim, a_dim), 0.5)
+        for i in range(y_dim):
+            yi = y[:, i]
+            if yi.min() == yi.max():
+                continue  # degenerate attribute: keep 0.5 (random)
+            for j in range(a_dim):
+                s = roc_auc_score(yi, a[:, j])
+                out[i, j] = max(s, 1.0 - s)  # == max(auroc(a), auroc(-a))
+        return out
+
+    def evaluate(self, a: np.ndarray, y: np.ndarray):
+        auroc = self.aurocs_search(np.asarray(a), np.asarray(y))
+        dim_y = y.shape[1]
+
+        order = np.argsort(auroc, axis=1)
+        max_aur = auroc[np.arange(dim_y), order[:, -1]]
+        second = auroc[np.arange(dim_y), order[:, -2]] if auroc.shape[1] > 1 \
+            else np.zeros(dim_y)
+        aurs_diffs = max_aur - second
+
+        mi = _binary_mi_matrix(np.asarray(y))
+        off = mi * (1.0 - np.eye(dim_y))
+        mi_maxes = off.max(axis=1)
+        diag = np.diag(mi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent_red = 1.0 - (diag - mi_maxes) / diag
+        ent_red[~np.isfinite(ent_red)] = 1.0
+
+        thresh, ent_red_thresh = 0.75, 0.2
+        keep = (max_aur >= thresh) & (ent_red <= ent_red_thresh)
+        tad_score = float(aurs_diffs[keep].sum())
+        return tad_score, auroc, int(keep.sum())

@@ -1,0 +1,228 @@
+"""FID / KID pipeline (reference: gen_fid_stats.py, calc_fid.py via
+clean-fid).
+
+Same three-stage contract as the reference: (1) make_custom_stats over a
+real-image dump -> cached stats, (2) generate images, (3) compute_fid /
+compute_kid of a folder against the named stats. The statistics math
+(Frechet distance over feature mean/cov; KID's unbiased polynomial-kernel
+MMD over subsets) matches clean-fid's definitions.
+
+Feature extractors are pluggable because this environment has no network
+egress and no bundled InceptionV3 weights:
+
+- ``inception``: uses clean-fid or torchvision when importable (exact
+  parity with the reference's numbers on machines that have them).
+- ``random`` (fallback): a fixed seeded random-conv feature network in
+  JAX, jitted and batched on TPU. Random-projection features preserve
+  distributional distances in expectation (Johnson-Lindenstrauss-style),
+  so scores are *internally comparable* across runs of this framework,
+  but are NOT comparable to published Inception-FID numbers — every
+  output is labeled with the extractor used.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+STATS_DIR = os.environ.get("INFODIFF_FID_STATS_DIR", "./fid_stats")
+_FEATURE_DIM = 768
+
+
+# ---------------------------------------------------------------------------
+# feature extractors
+# ---------------------------------------------------------------------------
+
+
+def _try_inception_extractor():
+    try:
+        from cleanfid.features import build_feature_extractor  # type: ignore
+
+        model = build_feature_extractor(mode="clean")
+
+        def extract(batch_u8):  # [B, H, W, 3] uint8
+            import torch
+
+            x = torch.from_numpy(batch_u8.transpose(0, 3, 1, 2)).float()
+            return model(x).cpu().numpy()
+
+        return extract, "inception-clean"
+    except Exception:
+        return None
+
+
+def _random_conv_extractor(seed: int = 0):
+    """Seeded 4-layer random conv net -> global avg+max pooled features,
+    jitted once; runs on the TPU for large folders."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    key = jr.PRNGKey(seed)
+    ks = jr.split(key, 4)
+    chans = [(3, 64), (64, 128), (128, 192), (192, 384)]
+    kernels = [
+        jr.normal(k, (3, 3, ci, co)) * np.sqrt(2.0 / (9 * ci))
+        for k, (ci, co) in zip(ks, chans)
+    ]
+
+    @jax.jit
+    def features(x):  # [B, H, W, 3] float in [0, 1]
+        h = x * 2.0 - 1.0
+        for w in kernels:
+            h = jax.lax.conv_general_dilated(
+                h, w, window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = jax.nn.leaky_relu(h, 0.2)
+        avg = jnp.mean(h, axis=(1, 2))
+        mx = jnp.max(h, axis=(1, 2))
+        return jnp.concatenate([avg, mx], axis=-1)  # [B, 768]
+
+    def extract(batch_u8):
+        x = jnp.asarray(batch_u8, jnp.float32) / 255.0
+        return np.asarray(features(x))
+
+    return extract, "random-conv-v1"
+
+
+def get_extractor(name: str = "auto"):
+    if name in ("auto", "inception"):
+        got = _try_inception_extractor()
+        if got is not None:
+            return got
+        if name == "inception":
+            raise RuntimeError(
+                "InceptionV3 weights unavailable in this environment "
+                "(no network egress); use extractor='random' or install "
+                "clean-fid with cached weights"
+            )
+    return _random_conv_extractor()
+
+
+# ---------------------------------------------------------------------------
+# folder -> features
+# ---------------------------------------------------------------------------
+
+
+def _iter_folder(folder: str, res: int, batch: int = 256):
+    from PIL import Image
+
+    from infodiffusion_tpu.data.datasets import _list_images
+
+    files = _list_images(folder)
+    if not files:
+        raise FileNotFoundError(f"no images under {folder}")
+    buf = []
+    for p in files:
+        img = Image.open(p).convert("RGB").resize((res, res), Image.BICUBIC)
+        buf.append(np.asarray(img, np.uint8))
+        if len(buf) == batch:
+            yield np.stack(buf)
+            buf = []
+    if buf:
+        yield np.stack(buf)
+
+
+def folder_features(
+    folder: str, res: int = 64, extractor: str = "auto",
+    max_images: Optional[int] = None,
+) -> Tuple[np.ndarray, str]:
+    extract, tag = get_extractor(extractor)
+    feats = []
+    n = 0
+    for batch in _iter_folder(folder, res):
+        feats.append(extract(batch))
+        n += len(batch)
+        if max_images is not None and n >= max_images:
+            break
+    out = np.concatenate(feats)
+    if max_images is not None:
+        out = out[:max_images]
+    return out, tag
+
+
+# ---------------------------------------------------------------------------
+# statistics
+# ---------------------------------------------------------------------------
+
+
+def feature_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    """FID = |mu1-mu2|^2 + Tr(S1 + S2 - 2 (S1 S2)^{1/2})."""
+    import scipy.linalg
+
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
+
+
+def kid_score(
+    feats1: np.ndarray, feats2: np.ndarray,
+    n_subsets: int = 100, max_subset_size: int = 1000, seed: int = 0,
+) -> float:
+    """Unbiased polynomial-kernel MMD averaged over random subsets
+    (clean-fid's KID protocol)."""
+    n = feats1.shape[1]
+    m = min(min(feats1.shape[0], feats2.shape[0]), max_subset_size)
+    rng = np.random.RandomState(seed)
+    t = 0.0
+    for _ in range(n_subsets):
+        x = feats2[rng.choice(feats2.shape[0], m, replace=False)]
+        y = feats1[rng.choice(feats1.shape[0], m, replace=False)]
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        t += (a.sum() - np.trace(a)) / (m - 1) - b.sum() * 2 / m
+    return float(t / n_subsets / m)
+
+
+# ---------------------------------------------------------------------------
+# clean-fid-shaped public API (reference: gen_fid_stats.py:8, calc_fid.py:6-14)
+# ---------------------------------------------------------------------------
+
+
+def _stats_path(name: str, extractor_tag: str) -> str:
+    os.makedirs(STATS_DIR, exist_ok=True)
+    return os.path.join(STATS_DIR, f"{name}_{extractor_tag}.npz")
+
+
+def make_custom_stats(
+    name: str, folder: str, res: int = 64, extractor: str = "auto"
+) -> str:
+    feats, tag = folder_features(folder, res, extractor)
+    mu, sigma = feature_stats(feats)
+    path = _stats_path(name, tag)
+    np.savez(path, mu=mu, sigma=sigma, feats=feats, extractor=tag, res=res)
+    return path
+
+
+def compute_fid(
+    folder: str, dataset_name: str, dataset_res: int = 64,
+    num_gen: int = 10000, extractor: str = "auto", **_ignored,
+) -> float:
+    feats, tag = folder_features(
+        folder, dataset_res, extractor, max_images=num_gen
+    )
+    ref = np.load(_stats_path(dataset_name, tag), allow_pickle=True)
+    mu, sigma = feature_stats(feats)
+    return frechet_distance(ref["mu"], ref["sigma"], mu, sigma)
+
+
+def compute_kid(
+    folder: str, dataset_name: str, dataset_res: int = 64,
+    num_gen: int = 10000, extractor: str = "auto", **_ignored,
+) -> float:
+    feats, tag = folder_features(
+        folder, dataset_res, extractor, max_images=num_gen
+    )
+    ref = np.load(_stats_path(dataset_name, tag), allow_pickle=True)
+    return kid_score(ref["feats"], feats)

@@ -102,13 +102,15 @@ class InfoDiff(nn.Module):
     use_C: bool = False
     C_max: float = 25.0
     epochs: int = 20
+    attn: Tuple[int, ...] = (2,)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         ch_mult = pick_ch_mult("diff", self.shape[1])
         kw = dict(
             T=self.T, a_dim=self.a_dim, ch=self.unets_channels,
-            ch_mult=ch_mult, out_ch=self.shape[0], dtype=self.dtype,
+            ch_mult=ch_mult, out_ch=self.shape[0], attn=self.attn,
+            dtype=self.dtype,
         )
         if self.is_bottleneck:
             self.backbone = BottleneckAuxUNet(**kw)
@@ -116,7 +118,7 @@ class InfoDiff(nn.Module):
             self.backbone = AuxiliaryUNet(**kw)
         self.encoder = Encoder(
             a_dim=self.a_dim, shape=self.shape, ch=self.encoder_channels,
-            ch_mult=ch_mult, dtype=self.dtype,
+            ch_mult=ch_mult, attn=self.attn, dtype=self.dtype,
         )
         self.sched: Schedule = make_schedule(self.beta1, self.betaT, self.T)
 

@@ -76,6 +76,13 @@ def adagn(
     x: [B, H, W, C] (or [B, N, C]); each (s, b) in ``films``: [B, C],
     broadcast over the spatial axes.
     """
+    if _use_pallas():
+        from infodiffusion_tpu.ops.pallas.adagn import adagn_pallas
+
+        try:
+            return adagn_pallas(x, num_groups, scale, bias, films)
+        except NotImplementedError:
+            pass
     h = group_norm(x, num_groups, scale, bias).astype(jnp.float32)
     expand = (slice(None),) + (None,) * (x.ndim - 2) + (slice(None),)
     for s, b in films:

@@ -1,0 +1,553 @@
+"""Training/eval drivers for every mode (layer L3; reference: run.py).
+
+All ten ``--mode`` values are implemented with the reference's artifact
+contract (image/checkpoint/npz naming via generate_exp_string) so the
+reference's shell workflows translate 1:1. The compute paths are
+TPU-native: one jitted train step, scan-based whole-trajectory samplers,
+batched jitted encoding for save_latent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from infodiffusion_tpu.config import Config, generate_exp_string
+from infodiffusion_tpu.data import DataLoader, LatentDataset, get_dataset
+from infodiffusion_tpu.data.datasets import dataset_flags
+from infodiffusion_tpu.diffusion import (
+    DiffusionProcess,
+    LatentDiffusionProcess,
+    TwoPhaseDiffusionProcess,
+)
+from infodiffusion_tpu.imaging import save_image
+from infodiffusion_tpu.logging_utils import MetricsWriter
+from infodiffusion_tpu.models import Diff, InfoDiff, VAE, build_model
+from infodiffusion_tpu.parallel import make_mesh, replicate, shard_batch
+from infodiffusion_tpu.train import (
+    create_train_state,
+    latest_checkpoint_epoch,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from infodiffusion_tpu.train.checkpoint import checkpoint_root, restore_params
+from infodiffusion_tpu.utils import AverageMeter, ProgressMeter, cos, seed_everything
+
+
+# ---------------------------------------------------------------------------
+# artifact paths (reference: run.py:103-158)
+# ---------------------------------------------------------------------------
+
+
+def image_root(cfg: Config) -> str:
+    root = cfg.img_folder
+    if cfg.model == "vae":
+        root = os.path.join(root, "vae")
+    elif cfg.model == "vanilla":
+        root = os.path.join(root, "diff")
+    return os.path.join(root, generate_exp_string(cfg))
+
+
+def latent_npz_path(cfg: Config) -> str:
+    """'{model}_{exp}_latent.npz' in CWD, dots -> underscores
+    (reference: run.py:443,483)."""
+    return "{}_{}_latent.npz".format(
+        cfg.model, generate_exp_string(cfg).replace(".", "_")
+    )
+
+
+def _mode_subdir(cfg: Config) -> str:
+    if cfg.mode == "eval":
+        return "eval"
+    if cfg.mode == "disentangle":
+        return f"disentangle-{cfg.img_id}"
+    if cfg.mode == "interpolate":
+        return f"interpolate-{cfg.img_id}"
+    if cfg.mode in ("save_latent", "plot_latent", "latent_quality"):
+        return cfg.mode
+    return cfg.mode
+
+
+def save_images(cfg: Config, sample, sample_num: int = 0, epoch: int = 0):
+    """Mode-dependent grid layouts (reference: run.py:103-143)."""
+    root = os.path.join(image_root(cfg), _mode_subdir(cfg))
+    os.makedirs(root, exist_ok=True)
+    arr = np.asarray(sample)
+    if cfg.mode == "train":
+        path = os.path.join(root, f"sample-{epoch}.png")
+        save_image(arr, path, normalize=True, value_range=(-1, 1), nrow=4)
+    elif cfg.mode == "eval":
+        path = os.path.join(root, f"sample{sample_num:05d}.png")
+        save_image(arr, path, normalize=True, value_range=(-1, 1))
+    elif cfg.mode in ("disentangle", "interpolate"):
+        path = os.path.join(root, f"sample{sample_num}.png")
+        save_image(
+            arr, path, normalize=True, value_range=(-1, 1), nrow=arr.shape[0]
+        )
+    else:
+        path = os.path.join(root, f"sample-{sample_num:06d}.png")
+        save_image(arr, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _loader(cfg: Config, mesh=None, with_attrs=False, shuffle=None):
+    ds = get_dataset(cfg)
+    flip, shuf = dataset_flags(cfg.dataset)
+    if shuffle is not None:
+        shuf = shuffle
+    return DataLoader(
+        ds, cfg.batch_size, shuffle=shuf, flip=flip, seed=cfg.r_seed,
+        mesh=mesh, with_attrs=with_attrs,
+    )
+
+
+def _init_state(cfg: Config, model, loader, rng, latent=False):
+    steps_per_epoch = max(len(loader), 1)
+    tx = make_optimizer(cfg.learning_rate, cfg.epochs, steps_per_epoch)
+    example = next(iter(loader))
+    if isinstance(example, tuple):
+        example = example[0]
+    example = jax.device_get(example)
+    state = create_train_state(model, rng, jnp.asarray(example), tx)
+    return tx, state, steps_per_epoch
+
+
+def _load_model_params(cfg: Config, model, example, latent=False, epoch=None):
+    """Build abstract params then restore the checkpoint at --epochs
+    (reference: run.py:231-233)."""
+    rngs = {
+        "params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+        "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3),
+    }
+    # only the param *structure* is needed to shape the restore — trace
+    # without computing anything
+    variables = jax.eval_shape(lambda: model.init(rngs, *example))
+    root = checkpoint_root(cfg, latent=latent)
+    epoch = cfg.epochs if epoch is None else epoch
+    params = restore_params(root, epoch, variables["params"])
+    return {"params": params}
+
+
+def _encode_dataset(cfg: Config, model, variables):
+    """Full-dataset deterministic encode -> (all_a [N, a_dim], all_attr)
+    (reference: run.py:415-443). Latent selection per the regularizer
+    table: kld!=0 -> mu; else -> a (run.py:429-438)."""
+    loader = _loader(cfg, with_attrs=True, shuffle=False)
+
+    @jax.jit
+    def enc(x):
+        a, _aq, mu, _lv = model.apply(
+            variables, x, method=type(model).encode, sample=False
+        )
+        return mu if cfg.kld_weight != 0 else a
+
+    all_a, all_attr = [], []
+    for x, attr in loader:
+        all_a.append(np.asarray(enc(x)))
+        all_attr.append(
+            np.asarray(attr) if attr is not None else
+            np.full((len(all_a[-1]),), "No Attributes", dtype=object)
+        )
+    return np.concatenate(all_a), np.concatenate(all_attr)
+
+
+def _encode_batch(cfg: Config, model, variables, x):
+    a, _aq, mu, _lv = model.apply(
+        variables, x, method=type(model).encode, sample=False
+    )
+    return mu if cfg.kld_weight != 0 else a
+
+
+def _nth_batch(loader, n: int):
+    """Reference pattern: iterate to batch #n, keep it
+    (run.py:373-382,418)."""
+    data = None
+    for idx, item in enumerate(loader):
+        data = item
+        if idx == n:
+            break
+    return data
+
+
+# ---------------------------------------------------------------------------
+# training (reference: run.py:161-212)
+# ---------------------------------------------------------------------------
+
+
+def train(cfg: Config, latent: bool = False):
+    rng = seed_everything(cfg.r_seed)
+    cfg = cfg.with_dataset_config()
+    mesh = make_mesh(cfg.mesh_devices) if jax.device_count() > 1 else None
+    print(dict(vars(cfg)))
+
+    if latent:
+        ds = LatentDataset(latent_npz_path(cfg))
+        loader = DataLoader(
+            ds, cfg.batch_size, shuffle=True, seed=cfg.r_seed, mesh=mesh
+        )
+        model = build_model(cfg, latent=True)
+        log_dir = os.path.join(
+            cfg.log_folder, generate_exp_string(cfg) + "_latent"
+        )
+    else:
+        loader = _loader(cfg, mesh=mesh)
+        model = build_model(cfg)
+        log_dir = os.path.join(cfg.log_folder, generate_exp_string(cfg))
+
+    writer = MetricsWriter(log_dir, use_tb=cfg.tb_logger)
+    tx, state, steps_per_epoch = _init_state(cfg, model, loader, rng, latent)
+    if mesh is not None:
+        state = replicate(mesh, state)
+    step_fn = make_train_step(model, tx)
+
+    ckpt_root = checkpoint_root(cfg, latent=latent)
+    start_epoch = 0
+    if cfg.resume:
+        last = latest_checkpoint_epoch(ckpt_root)
+        if last is not None:
+            state = restore_checkpoint(ckpt_root, last, state)
+            start_epoch = last
+            print(f"Resumed from epoch {last}")
+
+    losses = AverageMeter("Loss", ":.4f")
+    progress = ProgressMeter(cfg.epochs, [losses], prefix="Epoch ")
+    log_every = int(os.environ.get("INFODIFF_LOG_EVERY", "50"))
+    for curr_epoch in range(start_epoch, cfg.epochs):
+        total, count = 0.0, 0
+        last_metrics = None
+        for i, batch in enumerate(loader):
+            if isinstance(batch, tuple):
+                batch = batch[0]
+            state, metrics = step_fn(state, batch, curr_epoch)
+            last_metrics = metrics
+            # fetch metrics only every log_every steps: a per-step float()
+            # would force a device sync in the hot loop (the reference
+            # pays exactly that via loss.item(); run.py:201)
+            if i % log_every == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                total += vals["loss"]
+                count += 1
+                writer.write(int(state.step), vals)
+        if last_metrics is not None and count == 0:
+            total += float(last_metrics["loss"])
+            count += 1
+        losses.update(total / max(count, 1))
+        progress.display(curr_epoch)
+        print()
+        writer.flush()
+        if (curr_epoch + 1) % cfg.save_epochs == 0:
+            path = save_checkpoint(ckpt_root, curr_epoch + 1, state)
+            print(f"Saved checkpoint to {path}")
+    writer.close()
+    return state
+
+
+# ---------------------------------------------------------------------------
+# eval modes (reference: run.py:215-526)
+# ---------------------------------------------------------------------------
+
+
+def _build_eval(cfg: Config):
+    """Load main model + params for eval (reference: run.py:215-255)."""
+    cfg = cfg.with_dataset_config()
+    model = build_model(cfg)
+    C, H, W = cfg.shape
+    x = jnp.zeros((1, H, W, C))
+    if cfg.model == "diff":
+        example = (x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.a_dim)))
+    elif cfg.model == "vanilla":
+        example = (x, jnp.zeros((1,), jnp.int32))
+    else:
+        example = (x,)
+    variables = _load_model_params(cfg, model, example)
+    return cfg, model, variables
+
+
+def _second_model(cfg: Config):
+    """The second model for eval_fid (reference: run.py:234-252):
+    latent DDIM from {exp}_latent, or a separately-trained vanilla UNet."""
+    if cfg.is_latent:
+        model2 = build_model(cfg, latent=True)
+        x = jnp.zeros((1, cfg.a_dim))
+        example = (x, jnp.zeros((1,), jnp.int32))
+        vars2 = _load_model_params(cfg, model2, example, latent=True)
+        return model2, vars2
+    vanilla_cfg = cfg.replace(model="vanilla", mmd_weight=0.0, kld_weight=0.0)
+    model2 = build_model(vanilla_cfg)
+    C, H, W = cfg.shape
+    example = (jnp.zeros((1, H, W, C)), jnp.zeros((1,), jnp.int32))
+    vars2 = _load_model_params(vanilla_cfg, model2, example)
+    return model2, vars2
+
+
+def evaluate(cfg: Config):
+    rng = seed_everything(cfg.r_seed)
+    cfg, model, variables = _build_eval(cfg)
+    mode = cfg.mode
+
+    if cfg.model in ("diff", "vanilla"):
+        process = DiffusionProcess(cfg, model, variables)
+
+    if mode == "eval":
+        _mode_eval(cfg, model, variables, process if cfg.model != "vae" else None, rng)
+    elif mode == "eval_fid":
+        _mode_eval_fid(cfg, model, variables, rng)
+    elif mode == "latent_quality":
+        _mode_latent_quality(cfg, model, variables, process, rng)
+    elif mode == "plot_latent":
+        _mode_plot_latent(cfg, model, variables)
+    elif mode == "disentangle":
+        _mode_disentangle(cfg, model, variables, process, rng)
+    elif mode == "save_latent":
+        _mode_save_latent(cfg, model, variables)
+    elif mode == "interpolate":
+        _mode_interpolate(cfg, model, variables, process, rng)
+    else:
+        raise ValueError(mode)
+
+
+def _mode_eval(cfg, model, variables, process, rng):
+    """Grid samples (reference: run.py:256-264)."""
+    if cfg.model in ("diff", "vanilla"):
+        for sample_num in range(0, cfg.sampling_number, cfg.batch_size):
+            rng, k = jr.split(rng)
+            sample = process.sampling(k, sampling_number=16)
+            save_images(cfg, sample, sample_num=sample_num)
+    else:
+        rng, k = jr.split(rng)
+        a = jr.normal(k, (cfg.sampling_number, cfg.a_dim))
+        sample = model.apply(variables, a, method=VAE.decode)
+        save_images(cfg, sample)
+
+
+def _fid_root(cfg) -> str:
+    root = image_root(cfg)
+    sub = "eval-fid-latent" if cfg.is_latent else "eval-fid-fast"
+    root = os.path.join(root, sub)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _save_fid_batch(cfg, root, batch, sample_num) -> bool:
+    """Clip to [-1,1], rescale to [0,1], one PNG per sample
+    (reference: run.py:288-295). Returns False when the quota is hit."""
+    arr = np.clip(np.asarray(batch), -1, 1)
+    arr = (arr + 1.0) / 2.0
+    for bn, img in enumerate(arr):
+        num = sample_num + bn
+        if num >= cfg.sampling_number:
+            return False
+        save_image(img, os.path.join(root, f"sample-{num:06d}.png"))
+    return True
+
+
+def _mode_eval_fid(cfg, model, variables, rng):
+    """FID image dump (reference: run.py:265-309)."""
+    root = _fid_root(cfg)
+    print(f"Saving images to {root}")
+    if cfg.model == "diff":
+        model2, vars2 = _second_model(cfg)
+        if cfg.is_latent:
+            process = DiffusionProcess(cfg, model, variables)
+            process_latent = LatentDiffusionProcess(cfg, model2, vars2)
+        else:
+            process = TwoPhaseDiffusionProcess(
+                cfg, model, variables, model2, vars2
+            )
+        for sample_num in range(0, cfg.sampling_number, cfg.batch_size):
+            rng, k1, k2 = jr.split(rng, 3)
+            if cfg.is_latent:
+                batch_a = process_latent.sampling(
+                    k1, sampling_number=cfg.batch_size
+                )
+                batch = process.sampling(
+                    k2, sampling_number=cfg.batch_size, a=batch_a
+                )
+            else:
+                batch = process.sampling(k2, sampling_number=cfg.batch_size)
+            if not _save_fid_batch(cfg, root, batch, sample_num):
+                return
+        print("DONE")
+    elif cfg.model == "vae":
+        for sample_num in range(0, cfg.sampling_number, cfg.batch_size):
+            rng, k = jr.split(rng)
+            a = jr.normal(k, (cfg.batch_size, cfg.a_dim))
+            batch = model.apply(variables, a, method=VAE.decode)
+            if not _save_fid_batch(cfg, root, batch, sample_num):
+                return
+        print("DONE")
+
+
+def _mode_latent_quality(cfg, model, variables, process, rng):
+    """Re-sample sampling_number images with a fixed encoded a but fresh
+    xT draws (reference: run.py:310-341; batch_size forced to 1)."""
+    data = _nth_batch(_loader(cfg, shuffle=False), 10)
+    if isinstance(data, tuple):
+        data = data[0]
+    if cfg.kld_weight != 0:
+        # reference quirk: a = mu + exp(0.5*log_var) — std *added*, no
+        # noise draw (run.py:327)
+        _a, _aq, mu, log_var = model.apply(
+            variables, data, method=type(model).encode, sample=False
+        )
+        a = mu + jnp.exp(0.5 * log_var)
+    else:
+        a = _encode_batch(cfg, model, variables, data)
+    xT = process.reverse_sampling(data, a)
+    xT_original = jnp.tile(xT, (cfg.sampling_number, 1, 1, 1))
+    a_original = jnp.tile(a, (cfg.sampling_number, 1))
+    rng, k1, k2 = jr.split(rng, 3)
+    xT = jr.normal(k1, xT_original.shape)
+    batch = process.sampling(k2, xT=xT, a=a_original)
+    root = os.path.join(image_root(cfg), "latent_quality")
+    os.makedirs(root, exist_ok=True)
+    arr = np.clip(np.asarray(batch), -1, 1)
+    arr = (arr + 1.0) / 2.0
+    for bn, img in enumerate(arr):
+        save_image(img, os.path.join(root, f"sample-{bn:06d}.png"))
+
+
+def _mode_plot_latent(cfg, model, variables):
+    """2-D scatter of the first two latent dims colored by class
+    (reference: run.py:342-370)."""
+    all_a, all_attr = _encode_dataset(cfg, model, variables)
+    root = os.path.join(image_root(cfg), "plot_latent")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "plot_latent.png")
+    labels = np.asarray(all_attr)
+    if labels.ndim > 1:
+        labels = labels[:, 0]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.scatter(all_a[:, 0], all_a[:, 1], c=labels.astype(float),
+                    cmap="tab10", s=5)
+        plt.savefig(path)
+        plt.close()
+    except ImportError:
+        _scatter_png(all_a[:, 0], all_a[:, 1], labels.astype(float), path)
+    print(f"Saved latent plot to {path}")
+    return path
+
+
+def _scatter_png(x, y, c, path, size=512):
+    """Dependency-free scatter rasterizer (fallback when matplotlib is
+    unavailable in the image)."""
+    img = np.full((size, size, 3), 255, np.uint8)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    xs = ((x - x.min()) / max(x.ptp(), 1e-9) * (size - 9) + 4).astype(int)
+    ys = ((y - y.min()) / max(y.ptp(), 1e-9) * (size - 9) + 4).astype(int)
+    # tab10-ish palette
+    pal = np.asarray(
+        [
+            [31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
+            [148, 103, 189], [140, 86, 75], [227, 119, 194], [127, 127, 127],
+            [188, 189, 34], [23, 190, 207],
+        ],
+        np.uint8,
+    )
+    ci = (np.asarray(c) % 10).astype(int)
+    for px, py, pc in zip(xs, ys, ci):
+        img[size - 1 - py - 1 : size - py + 1, px - 1 : px + 1] = pal[pc]
+    from PIL import Image
+
+    Image.fromarray(img).save(path)
+
+
+def _mode_disentangle(cfg, model, variables, process, rng):
+    """Latent traversal: for each latent dim, re-generate with that dim
+    swept over 11 etas from a shared reverse-DDIM xT
+    (reference: run.py:371-414; batch_size forced to 1)."""
+    data = _nth_batch(_loader(cfg, shuffle=False), cfg.img_id)
+    if isinstance(data, tuple):
+        data = data[0]
+    eta = [-1.5, -1.2, -0.9, -0.6, -0.3, 0.0, 0.3, 0.6, 0.9, 1.2, 1.5]
+    a = _encode_batch(cfg, model, variables, data)
+    if cfg.model == "diff":
+        xT = process.reverse_sampling(data, a)
+        xT = jnp.tile(xT, (len(eta), 1, 1, 1))
+    for k in range(cfg.a_dim):
+        a_batch = jnp.tile(a, (len(eta), 1))
+        a_batch = a_batch.at[:, k].set(jnp.asarray(eta))
+        if cfg.model == "diff":
+            rng, kk = jr.split(rng)
+            sample = process.sampling(kk, xT=xT, a=a_batch)
+        else:
+            sample = model.apply(variables, a_batch, method=VAE.decode)
+        save_images(cfg, sample, sample_num=k)
+
+
+def _mode_save_latent(cfg, model, variables):
+    """Full-dataset encode -> npz (reference: run.py:415-443)."""
+    all_a, all_attr = _encode_dataset(cfg, model, variables)
+    path = latent_npz_path(cfg)
+    np.savez(path[: -len(".npz")], all_a=all_a, all_attr=all_attr)
+    print(f"Saved latents to {path}")
+    return path
+
+
+def _mode_interpolate(cfg, model, variables, process, rng):
+    """Slerp on xT + trig interpolation on a over 10 etas
+    (reference: run.py:444-481; batch_size forced to 2)."""
+    data = _nth_batch(_loader(cfg, shuffle=False), cfg.img_id)
+    if isinstance(data, tuple):
+        data = data[0]
+    a = _encode_batch(cfg, model, variables, data)
+    eta = [0.0, 0.11, 0.22, 0.33, 0.44, 0.55, 0.66, 0.77, 0.88, 1.0]
+    if cfg.model in ("diff", "vanilla"):
+        xT = process.reverse_sampling(data, a)
+        theta = jnp.arccos(cos(xT[0], xT[1]))
+        intp_x = jnp.stack(
+            [
+                (jnp.sin((1 - e) * theta) * xT[0] + jnp.sin(e * theta) * xT[1])
+                / jnp.sin(theta)
+                for e in eta
+            ]
+        )
+    intp_a = jnp.stack(
+        [
+            jnp.cos(e * jnp.pi / 2) * a[0] + jnp.sin(e * jnp.pi / 2) * a[1]
+            for e in eta
+        ]
+    )
+    if cfg.model in ("diff", "vanilla"):
+        rng, k = jr.split(rng)
+        sample = process.sampling(k, xT=intp_x, a=intp_a)
+    else:
+        sample = model.apply(variables, intp_a, method=VAE.decode)
+    save_images(cfg, sample)
+
+
+def save_original_img(cfg: Config):
+    """Dump the dataset as [0,1]-scaled PNGs for FID stats
+    (reference: run.py:540-549)."""
+    cfg = cfg.with_dataset_config()
+    out = f"./{cfg.dataset}_imgs/"
+    os.makedirs(out, exist_ok=True)
+    loader = _loader(cfg, shuffle=False)
+    i = 0
+    for batch in loader:
+        if isinstance(batch, tuple):
+            batch = batch[0]
+        arr = (np.asarray(batch) + 1.0) / 2.0
+        # reference saves one grid per *batch* (run.py:547-549)
+        save_image(arr, os.path.join(out, f"{i:06d}.png"))
+        i += 1
+    print(f"Saved original images to {out}")
+    return out

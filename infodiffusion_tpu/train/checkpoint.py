@@ -1,0 +1,78 @@
+"""Orbax checkpointing with full train-state resume.
+
+The reference saves ``state_dict`` weights only — no optimizer state, no
+step counter, no resume (reference: run.py:145-158; SURVEY.md §5). Here a
+checkpoint is the complete TrainState (params + opt state + step + RNG),
+so training resumes bit-exactly. Directory naming keeps the reference's
+artifact contract: ``{model_folder}/[vae|diff/]{exp}[_latent]/model-{epoch}``
+(reference: run.py:145-158, generate_exp_string utils.py:49-61).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from infodiffusion_tpu.train.state import TrainState
+
+
+def checkpoint_root(cfg, latent: bool = False) -> str:
+    """Reference directory layout (run.py:145-158)."""
+    from infodiffusion_tpu.config import generate_exp_string
+
+    root = cfg.model_folder
+    if cfg.model == "vae":
+        root = os.path.join(root, "vae")
+    elif cfg.model == "vanilla":
+        root = os.path.join(root, "diff")
+    exp = generate_exp_string(cfg)
+    if latent:
+        exp += "_latent"
+    return os.path.abspath(os.path.join(root, exp))
+
+
+def _path(root: str, epoch: int) -> str:
+    return os.path.join(root, f"model-{epoch}")
+
+
+def save_checkpoint(root: str, epoch: int, state: TrainState) -> str:
+    path = _path(root, epoch)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint_epoch(root: str) -> Optional[int]:
+    if not os.path.isdir(root):
+        return None
+    epochs = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"model-(\d+)", name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            epochs.append(int(m.group(1)))
+    return max(epochs) if epochs else None
+
+
+def restore_checkpoint(root: str, epoch: int, target: TrainState) -> TrainState:
+    """Restore into the structure of ``target`` (a freshly-initialized
+    state with the right shapes/shardings)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(_path(root, epoch), target)
+
+
+def restore_params(root: str, epoch: int, target_params):
+    """Weights-only restore for eval modes, shaped by ``target_params``
+    (the reference loads with strict=False to skip its dead CrossAttn
+    params, run.py:233; our checkpoints carry no dead weights so an
+    exact-shape restore suffices)."""
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(_path(root, epoch))
+    params = restored["params"]
+    # sanity: structure must match the model being evaluated
+    jax.tree.map(lambda a, b: None, params, target_params)
+    return params

@@ -1,0 +1,80 @@
+"""The jitted train step (reference hot loop: run.py:188-212).
+
+One fused XLA program per step: loss (incl. device-side prior draws),
+backward, clip, AdamW update. Under a data mesh the batch arrives
+sharded on axis 0 and parameters replicated; because the step is written
+with global-batch semantics, XLA inserts the gradient all-reduce (and
+the latent all-gather the O(B^2) MMD term needs) over ICI automatically.
+
+RNG: the per-step keys are folded out of the state's root key and the
+step counter, so training is exactly reproducible from (seed, step) —
+including after a checkpoint resume — and identical regardless of mesh
+shape (keys are derived from globals, not per-device state).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+
+from infodiffusion_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted ``step_fn(state, batch, curr_epoch) -> (state, metrics)``.
+
+    ``curr_epoch`` feeds the KLD capacity annealing
+    (reference: models.py:666-668) and is a traced scalar so epoch
+    rollover does not recompile.
+    """
+    loss_method = type(model).loss_fn
+
+    def step_fn(state: TrainState, batch, curr_epoch):
+        k = jr.fold_in(state.rng, state.step)
+        k_noise, k_rep, k_drop = jr.split(k, 3)
+        rngs = {"noise": k_noise, "reparam": k_rep, "dropout": k_drop}
+
+        def loss_fn(params):
+            loss, aux = model.apply(
+                {"params": params}, batch, curr_epoch,
+                method=loss_method, rngs=rngs, deterministic=False,
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics.update(aux)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_encode_step(model) -> Callable:
+    """Jitted full-batch encoder pass used by save_latent / plot_latent /
+    disentangle (reference: run.py:386-392,415-443). Returns
+    (a, mu): caller picks per the regularizer table."""
+
+    def encode(params, x):
+        a, _aq, mu, _lv = model.apply(
+            {"params": params}, x, method=type(model).encode, sample=False
+        )
+        return a, mu
+
+    return jax.jit(encode)

@@ -1,0 +1,123 @@
+"""Data layer tests: synthetic datasets, loader contract (drop_last,
+shuffle, flip, normalization), latent dataset, image folder transforms,
+PNG grid writer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from infodiffusion_tpu.config import Config
+from infodiffusion_tpu.data import (
+    ArrayDataset,
+    DataLoader,
+    ImageFolderDataset,
+    LatentDataset,
+    get_dataset,
+)
+from infodiffusion_tpu.data.datasets import dataset_flags
+from infodiffusion_tpu.imaging import make_grid, save_image
+
+
+def _cfg(**kw):
+    base = dict(dataset="mnist", data_dir="synthetic")
+    base.update(kw)
+    return Config(**base).with_dataset_config()
+
+
+def test_synthetic_shapes_per_dataset():
+    for name in ["mnist", "celeba", "cifar10", "dsprites"]:
+        cfg = _cfg(dataset=name)
+        ds = get_dataset(cfg)
+        x, a = ds.get_batch(np.arange(4))
+        assert x.shape == (4, cfg.input_size, cfg.input_size,
+                           cfg.input_channels)
+
+
+def test_loader_drop_last_and_normalization():
+    ds = ArrayDataset(images=np.full((10, 4, 4, 1), 255, np.uint8))
+    dl = DataLoader(ds, batch_size=4)
+    batches = list(dl)
+    assert len(batches) == 2  # drop_last
+    b = np.asarray(batches[0])
+    np.testing.assert_allclose(b, 1.0)  # 255 -> +1.0
+    ds0 = ArrayDataset(images=np.zeros((4, 4, 4, 1), np.uint8))
+    b0 = np.asarray(next(iter(DataLoader(ds0, batch_size=4))))
+    np.testing.assert_allclose(b0, -1.0)  # 0 -> -1.0
+
+
+def test_loader_shuffle_determinism_and_flip():
+    imgs = np.arange(8 * 4 * 4, dtype=np.uint8).reshape(8, 4, 4, 1)
+    ds = ArrayDataset(images=imgs)
+    d1 = DataLoader(ds, batch_size=8, shuffle=True, seed=7)
+    d2 = DataLoader(ds, batch_size=8, shuffle=True, seed=7)
+    np.testing.assert_array_equal(np.asarray(next(iter(d1))),
+                                  np.asarray(next(iter(d2))))
+    # flip: with seed fixed, some rows flipped horizontally
+    df = DataLoader(ds, batch_size=8, flip=True, seed=0)
+    bf = np.asarray(next(iter(df)))
+    plain = ds.get_batch(np.arange(8))[0]
+    flipped = plain[:, :, ::-1, :]
+    for i in range(8):
+        assert np.allclose(bf[i], plain[i]) or np.allclose(bf[i], flipped[i])
+    assert any(
+        np.allclose(bf[i], flipped[i]) and not np.allclose(bf[i], plain[i])
+        for i in range(8)
+    )
+
+
+def test_dataset_flags_table():
+    assert dataset_flags("mnist") == (False, False)
+    assert dataset_flags("fmnist") == (True, False)
+    assert dataset_flags("celeba") == (True, False)
+    assert dataset_flags("cifar10") == (True, True)
+    assert dataset_flags("ffhq") == (True, False)
+    assert dataset_flags("chairs") == (True, True)
+    assert dataset_flags("dsprites") == (False, True)
+
+
+def test_dsprites_raw_normalization():
+    ds = ArrayDataset(
+        images=np.ones((4, 4, 4, 1), np.uint8), normalize="raw"
+    )
+    b = np.asarray(next(iter(DataLoader(ds, batch_size=4))))
+    np.testing.assert_allclose(b, 1.0)  # raw floats, not scaled
+
+
+def test_latent_dataset_roundtrip(tmp_path):
+    a = np.random.RandomState(0).randn(32, 8).astype(np.float32)
+    path = str(tmp_path / "x_latent.npz")
+    np.savez(path, all_a=a, all_attr=np.zeros(32))
+    ds = LatentDataset(path)
+    assert len(ds) == 32
+    x, _ = ds.get_batch(np.arange(4))
+    np.testing.assert_allclose(x, a[:4])
+
+
+def test_image_folder_center_crop(tmp_path):
+    from PIL import Image
+
+    # celeba-shaped (178x218) image -> resize smaller edge 64 + center crop
+    for i in range(3):
+        Image.new("RGB", (178, 218), (i * 10, 0, 0)).save(
+            tmp_path / f"{i:06d}.jpg"
+        )
+    ds = ImageFolderDataset(
+        files=sorted(str(p) for p in tmp_path.glob("*.jpg")),
+        size=64, center_crop=True,
+    )
+    x, _ = ds.get_batch(np.arange(3))
+    assert x.shape == (3, 64, 64, 3)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_make_grid_and_save_image(tmp_path):
+    batch = np.random.RandomState(0).uniform(-1, 1, (6, 8, 8, 1)).astype(np.float32)
+    grid = make_grid(batch, nrow=4, padding=2)
+    assert grid.shape == (2 * (8 + 2) + 2, 4 * (8 + 2) + 2, 1)
+    p = str(tmp_path / "g.png")
+    save_image(batch, p, nrow=4, normalize=True, value_range=(-1, 1))
+    from PIL import Image
+
+    im = Image.open(p)
+    assert im.size == (grid.shape[1], grid.shape[0])

@@ -1,0 +1,141 @@
+"""Training infrastructure tests: optimizer schedule, train step,
+checkpoint round-trip, and DP-vs-single-device equivalence on the
+virtual 8-device CPU mesh (SURVEY.md §4.3-4.4).
+
+CPU-compile economy: the generic step/checkpoint/DP semantics are tested
+on the latent Diff (MLP denoiser — compiles in seconds); conv-UNet
+training is covered by a single shallow-ch_mult InfoDiff test (via
+patched pick_ch_mult) that also exercises the sharded-MMD invariant, and
+end-to-end by tests/test_cli_e2e.py.
+"""
+
+import math
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from infodiffusion_tpu.models import Diff, InfoDiff
+from infodiffusion_tpu.parallel import make_mesh, replicate, shard_batch
+from infodiffusion_tpu.train import (
+    create_train_state,
+    latest_checkpoint_epoch,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+    warmup_cosine_schedule,
+)
+
+
+def test_lr_schedule_staircase():
+    """Reference LR semantics (utils.py:133-160 + run.py:182-185):
+    epoch 0 -> base, epoch 1 -> 2*base, epoch e>=2 -> cosine from 2*base."""
+    base, epochs, spe = 1e-4, 10, 5
+    sched = warmup_cosine_schedule(base, epochs, spe)
+    assert np.isclose(float(sched(0)), base)
+    assert np.isclose(float(sched(spe - 1)), base)
+    assert np.isclose(float(sched(spe)), 2 * base)
+    assert np.isclose(float(sched(2 * spe)), 2 * base)  # cos(0) epoch
+    e = 5
+    want = 2 * base * 0.5 * (1 + math.cos(math.pi * (e - 2) / epochs))
+    assert np.isclose(float(sched(e * spe)), want, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    """Shared latent-Diff model + optimizer + step fn (fast compiles)."""
+    model = Diff(T=8, shape=(1, 16, 16), is_latent=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 16), jnp.float32)
+    tx = make_optimizer(1e-3, 3, 4)
+    state = create_train_state(model, jr.PRNGKey(0), x, tx)
+    step = make_train_step(model, tx, donate=False)
+    return model, x, tx, state, step
+
+
+def test_train_step_reduces_loss(setup):
+    _model, x, _tx, state, step = setup
+    losses = []
+    for _ in range(30):
+        state, m = step(state, x, 0)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 30
+    assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    _model, x, _tx, state, step = setup
+    state, _ = step(state, x, 0)
+    root = str(tmp_path / "ckpt")
+    save_checkpoint(root, 1, state)
+    assert latest_checkpoint_epoch(root) == 1
+
+    restored = restore_checkpoint(root, 1, state)
+    assert int(restored.step) == int(state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+    # resume continues identically (RNG folded from (root key, step))
+    _s1, m1 = step(state, x, 0)
+    _s2, m2 = step(restored, x, 0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_dp_matches_single_device(setup):
+    """Global-batch semantics under the 8-device data mesh: one step on
+    the sharded batch must equal the single-device step (the standard
+    'distributed without a cluster' check, SURVEY.md §4.4)."""
+    _model, x, _tx, state, step = setup
+    s_single, m_single = step(state, x, 0)
+
+    mesh = make_mesh(8)
+    xs = shard_batch(mesh, x)
+    state_r = replicate(mesh, state)
+    s_dp, m_dp = step(state_r, xs, 0)
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        s_single.params, s_dp.params,
+    )
+
+
+def test_infodiff_conv_train_step_with_mmd_on_mesh():
+    """Conv-UNet InfoDiff step + the sharded-MMD invariant: the O(B^2)
+    MMD term must be identical sharded vs unsharded (SURVEY.md §7 'MMD on
+    sharded batches'). Uses a shallow (1,2) ch_mult to keep CPU compiles
+    tractable — the algebra under test is depth-independent."""
+    with mock.patch(
+        "infodiffusion_tpu.models.wrappers.pick_ch_mult",
+        return_value=(1, 2),
+    ):
+        model = InfoDiff(
+            T=8, a_dim=4, shape=(1, 8, 8), unets_channels=32,
+            encoder_channels=32, mmd_weight=0.1, kld_weight=0.01, epochs=3,
+            attn=(1,),
+        )
+        x = jnp.asarray(
+            np.random.RandomState(2).randn(8, 8, 8, 1), jnp.float32
+        )
+        tx = make_optimizer(1e-4, 3, 4)
+        state = create_train_state(model, jr.PRNGKey(0), x, tx)
+        step = make_train_step(model, tx, donate=False)
+        _, m_single = step(state, x, 0)
+
+        mesh = make_mesh(8)
+        _, m_dp = step(replicate(mesh, state), shard_batch(mesh, x), 0)
+    np.testing.assert_allclose(
+        float(m_dp["mmd"]), float(m_single["mmd"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-4
+    )
+    assert np.isfinite(float(m_single["kld"]))
