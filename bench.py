@@ -64,8 +64,10 @@ def main():
         )
 
     key = jr.PRNGKey(0)
-    xT = jr.normal(key, (batch, 64, 64, 3), dtype=dtype)
-    a = jr.normal(key, (batch, 256), dtype=dtype)
+    # carry stays f32 (schedule math is f32 by design); the model's
+    # bf16 policy casts activations internally
+    xT = jr.normal(key, (batch, 64, 64, 3))
+    a = jr.normal(key, (batch, 256))
 
     # compile + warmup
     out = sample(variables, xT, a, key)

@@ -58,8 +58,8 @@ def _kernel(x_ref, gm_ref, gamma_ref, beta_ref, films_ref, o_ref, *,
     h = (x - mean_c) * rstd_c
     h = h * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
     for k in range(K):
-        scale = films_ref[2 * k, 0].astype(jnp.float32)  # [C]
-        shift = films_ref[2 * k + 1, 0].astype(jnp.float32)
+        scale = films_ref[0, 2 * k].astype(jnp.float32)  # [C]
+        shift = films_ref[0, 2 * k + 1].astype(jnp.float32)
         h = h * (1.0 + scale[None, :]) + shift[None, :]
     o_ref[0] = h.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
@@ -71,17 +71,19 @@ def adagn_pallas(x, num_groups, scale, bias, films, *, interpret=False):
     HW = int(np.prod(x.shape[1:-1]))
     G = num_groups
     K = len(films)
-    if C % G or C % 128 and C < 128:
-        raise NotImplementedError("channel layout not tile-friendly")
+    if C % G:
+        raise NotImplementedError("channels not divisible by groups")
     need = (2 * HW * C + C * G + 4 * C) * 4
     if need > _VMEM_BUDGET:
         raise NotImplementedError("adagn tile exceeds VMEM budget")
 
     gm = jnp.asarray(_group_matrix(C, G))
-    # stack films -> [2K, B, C] (scale0, shift0, scale1, shift1)
+    # stack films -> [B, 2K, C] (scale0, shift0, scale1, shift1); batch
+    # leads so the per-batch block keeps full trailing dims (TPU block
+    # shape rule: last two dims must tile (8,128) or equal the array's)
     stacked = jnp.stack(
-        [t for pair in films for t in pair], axis=0
-    ) if K else jnp.zeros((1, B, C), x.dtype)
+        [t for pair in films for t in pair], axis=1
+    ) if K else jnp.zeros((B, 1, C), x.dtype)
     K_eff = K
 
     x3 = x.reshape(B, HW, C)
@@ -95,7 +97,7 @@ def adagn_pallas(x, num_groups, scale, bias, films, *, interpret=False):
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (stacked.shape[0], 1, C), lambda b: (0, b, 0),
+                (1, stacked.shape[1], C), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
