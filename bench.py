@@ -27,11 +27,15 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+from infodiffusion_tpu.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 A100_DDIM100_EST = 30.0  # samples/s, documented estimate (see module doc)
 
 
 def main():
-    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))
     use_bf16 = os.environ.get("INFODIFF_BENCH_BF16", "1") == "1"

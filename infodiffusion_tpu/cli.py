@@ -123,6 +123,9 @@ def dispatch(cfg: Config):
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    from infodiffusion_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     dispatch(parse_args(argv))
 
 

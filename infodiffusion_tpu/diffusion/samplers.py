@@ -173,10 +173,14 @@ def strided_ddim_loop(
     def body(carry, scan_in):
         t, t_prev = scan_in
         x, key = carry
-        key, k = jr.split(key)
         eps = eps_fn(x, _full_t(x, t), a)
-        noise = jr.normal(k, x.shape, dtype=x.dtype)
-        noise = jnp.where(t_prev < 0, jnp.zeros_like(noise), noise)
+        if eta == 0.0:
+            # deterministic path: sigma == 0, skip the RNG work entirely
+            noise = jnp.zeros_like(x)
+        else:
+            key, k = jr.split(key)
+            noise = jr.normal(k, x.shape, dtype=x.dtype)
+            noise = jnp.where(t_prev < 0, jnp.zeros_like(noise), noise)
         x = strided_ddim_step(sched, x, t, t_prev, eps, noise, eta=eta)
         return (x, key), None
 
