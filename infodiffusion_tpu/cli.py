@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the latest checkpoint")
+    p.add_argument("--ch_mult", type=str, default=None,
+                   help="override UNet ch_mult, e.g. '1,2,2,2'")
+    p.add_argument("--attn", type=str, default=None,
+                   help="override attention level indices, e.g. '2'")
     p.add_argument("--two_phase_reference_quirk", action="store_true",
                    help="reproduce the reference two-phase sampler's "
                         "dead-branch bug (sampling.py:199-203)")

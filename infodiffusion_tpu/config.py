@@ -95,6 +95,11 @@ class Config:
     # Resume training from the latest checkpoint if present (new capability:
     # the reference saves weights only and cannot resume; run.py:145-158).
     resume: bool = False
+    # Architecture overrides (None -> the reference's hardcoded ch_mult
+    # table and attn=[2]; models.py:619-622,743-746 / models.py:8).
+    # Comma-separated ints, e.g. "1,2,2,2" / "1".
+    ch_mult: Optional[str] = None
+    attn: Optional[str] = None
     # Use the reference's quirky two-phase sampler semantics (its loop binds
     # t once, so phase 2's model runs the whole trajectory; sampling.py:199-203)
     # instead of the intended split-step behavior.

@@ -103,10 +103,11 @@ class InfoDiff(nn.Module):
     C_max: float = 25.0
     epochs: int = 20
     attn: Tuple[int, ...] = (2,)
+    ch_mult: Optional[Tuple[int, ...]] = None  # None -> reference table
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        ch_mult = pick_ch_mult("diff", self.shape[1])
+        ch_mult = self.ch_mult or pick_ch_mult("diff", self.shape[1])
         kw = dict(
             T=self.T, a_dim=self.a_dim, ch=self.unets_channels,
             ch_mult=ch_mult, out_ch=self.shape[0], attn=self.attn,
@@ -205,6 +206,8 @@ class Diff(nn.Module):
     beta1: float = 1e-5
     betaT: float = 1e-2
     is_latent: bool = False
+    attn: Tuple[int, ...] = (2,)
+    ch_mult: Optional[Tuple[int, ...]] = None  # None -> reference table
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -214,10 +217,10 @@ class Diff(nn.Module):
                 activation="silu", dtype=self.dtype,
             )
         else:
-            ch_mult = pick_ch_mult("vanilla", self.shape[1])
+            ch_mult = self.ch_mult or pick_ch_mult("vanilla", self.shape[1])
             self.backbone = UNet(
                 T=self.T, ch=self.unets_channels, ch_mult=ch_mult,
-                out_ch=self.shape[0], dtype=self.dtype,
+                attn=self.attn, out_ch=self.shape[0], dtype=self.dtype,
             )
         self.sched: Schedule = make_schedule(self.beta1, self.betaT, self.T)
 
@@ -257,17 +260,19 @@ class VAE(nn.Module):
     use_C: bool = False
     C_max: float = 25.0
     epochs: int = 20
+    attn: Tuple[int, ...] = (2,)
+    ch_mult: Optional[Tuple[int, ...]] = None  # None -> reference table
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        ch_mult = pick_ch_mult("vae", self.shape[1])
+        ch_mult = self.ch_mult or pick_ch_mult("vae", self.shape[1])
         self.encoder = Encoder(
             a_dim=self.a_dim, shape=self.shape, ch=self.encoder_channels,
-            ch_mult=ch_mult, dtype=self.dtype,
+            ch_mult=ch_mult, attn=self.attn, dtype=self.dtype,
         )
         self.decoder = Decoder(
             a_dim=self.a_dim, shape=self.shape, ch=self.encoder_channels,
-            ch_mult=ch_mult, dtype=self.dtype,
+            ch_mult=ch_mult, attn=self.attn, dtype=self.dtype,
         )
 
     def encode(self, x, *, deterministic: bool = True, sample: bool = True):
@@ -330,15 +335,21 @@ class FeatureClassifier(nn.Module):
         return nn.sigmoid(x)
 
 
-def build_model(cfg, *, latent: bool = False, dtype=jnp.float32):
+def build_model(cfg, *, latent: bool = False, dtype=None):
     """Instantiate the wrapper selected by ``cfg.model``
-    (reference: run.py:171-176, 491-492)."""
+    (reference: run.py:171-176, 491-492). ``cfg.ch_mult``/``cfg.attn``
+    override the reference's hardcoded architecture table when set."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if getattr(cfg, "bf16", False) else jnp.float32
     shape = cfg.latent_shape if latent else cfg.shape
+    ch_mult = _parse_ints(getattr(cfg, "ch_mult", None))
+    attn = _parse_ints(getattr(cfg, "attn", None)) or (2,)
     if latent or cfg.model == "vanilla":
         return Diff(
             T=cfg.diffusion_steps, shape=shape,
             unets_channels=cfg.unets_channels, beta1=cfg.beta1,
-            betaT=cfg.betaT, is_latent=latent or cfg.is_latent, dtype=dtype,
+            betaT=cfg.betaT, is_latent=latent or cfg.is_latent,
+            attn=attn, ch_mult=ch_mult, dtype=dtype,
         )
     if cfg.model == "diff":
         return InfoDiff(
@@ -348,13 +359,22 @@ def build_model(cfg, *, latent: bool = False, dtype=jnp.float32):
             betaT=cfg.betaT, mmd_weight=cfg.mmd_weight,
             kld_weight=cfg.kld_weight, is_bottleneck=cfg.is_bottleneck,
             prior=cfg.prior, use_C=cfg.use_C, C_max=cfg.C_max,
-            epochs=cfg.epochs, dtype=dtype,
+            epochs=cfg.epochs, attn=attn, ch_mult=ch_mult, dtype=dtype,
         )
     if cfg.model == "vae":
         return VAE(
             a_dim=cfg.a_dim, shape=shape,
             encoder_channels=cfg.encoder_channels,
             mmd_weight=cfg.mmd_weight, kld_weight=cfg.kld_weight,
-            use_C=cfg.use_C, C_max=cfg.C_max, epochs=cfg.epochs, dtype=dtype,
+            use_C=cfg.use_C, C_max=cfg.C_max, epochs=cfg.epochs,
+            attn=attn, ch_mult=ch_mult, dtype=dtype,
         )
     raise ValueError(cfg.model)
+
+
+def _parse_ints(v):
+    if v is None or v == "":
+        return None
+    if isinstance(v, (tuple, list)):
+        return tuple(int(i) for i in v)
+    return tuple(int(i) for i in str(v).split(","))

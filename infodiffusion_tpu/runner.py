@@ -124,16 +124,20 @@ def _init_state(cfg: Config, model, loader, rng, latent=False):
     return tx, state, steps_per_epoch
 
 
-def _load_model_params(cfg: Config, model, example, latent=False, epoch=None):
+def _load_model_params(cfg: Config, model, example_x, latent=False, epoch=None):
     """Build abstract params then restore the checkpoint at --epochs
-    (reference: run.py:231-233)."""
+    (reference: run.py:231-233). Shapes are traced through ``loss_fn`` so
+    every submodule (backbone AND encoder) is materialized — the train
+    checkpoints contain both."""
     rngs = {
         "params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
         "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3),
     }
     # only the param *structure* is needed to shape the restore — trace
     # without computing anything
-    variables = jax.eval_shape(lambda: model.init(rngs, *example))
+    variables = jax.eval_shape(
+        lambda: model.init(rngs, example_x, 0, method=type(model).loss_fn)
+    )
     root = checkpoint_root(cfg, latent=latent)
     epoch = cfg.epochs if epoch is None else epoch
     params = restore_params(root, epoch, variables["params"])
@@ -265,13 +269,7 @@ def _build_eval(cfg: Config):
     model = build_model(cfg)
     C, H, W = cfg.shape
     x = jnp.zeros((1, H, W, C))
-    if cfg.model == "diff":
-        example = (x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.a_dim)))
-    elif cfg.model == "vanilla":
-        example = (x, jnp.zeros((1,), jnp.int32))
-    else:
-        example = (x,)
-    variables = _load_model_params(cfg, model, example)
+    variables = _load_model_params(cfg, model, x)
     return cfg, model, variables
 
 
@@ -280,15 +278,14 @@ def _second_model(cfg: Config):
     latent DDIM from {exp}_latent, or a separately-trained vanilla UNet."""
     if cfg.is_latent:
         model2 = build_model(cfg, latent=True)
-        x = jnp.zeros((1, cfg.a_dim))
-        example = (x, jnp.zeros((1,), jnp.int32))
-        vars2 = _load_model_params(cfg, model2, example, latent=True)
+        vars2 = _load_model_params(
+            cfg, model2, jnp.zeros((1, cfg.a_dim)), latent=True
+        )
         return model2, vars2
     vanilla_cfg = cfg.replace(model="vanilla", mmd_weight=0.0, kld_weight=0.0)
     model2 = build_model(vanilla_cfg)
     C, H, W = cfg.shape
-    example = (jnp.zeros((1, H, W, C)), jnp.zeros((1,), jnp.int32))
-    vars2 = _load_model_params(vanilla_cfg, model2, example)
+    vars2 = _load_model_params(vanilla_cfg, model2, jnp.zeros((1, H, W, C)))
     return model2, vars2
 
 
@@ -297,11 +294,12 @@ def evaluate(cfg: Config):
     cfg, model, variables = _build_eval(cfg)
     mode = cfg.mode
 
+    process = None
     if cfg.model in ("diff", "vanilla"):
         process = DiffusionProcess(cfg, model, variables)
 
     if mode == "eval":
-        _mode_eval(cfg, model, variables, process if cfg.model != "vae" else None, rng)
+        _mode_eval(cfg, model, variables, process, rng)
     elif mode == "eval_fid":
         _mode_eval_fid(cfg, model, variables, rng)
     elif mode == "latent_quality":

@@ -121,3 +121,62 @@ def test_eval_disentanglement_protocol(workdir):
     out = evaluate_latents(a, y, "celeba", verbose=False)
     assert "tad" in out and "linear_probe" in out
     assert out["linear_probe"][0] > 0.6
+
+
+@pytest.mark.slow
+def test_infodiff_full_latent_pipeline(workdir):
+    """The flagship 4-step workflow (reference: eval_fid.sh): train ->
+    save_latent -> train_latent_ddim -> eval_fid --is_latent, then
+    disentangle + interpolate on the same checkpoint. Uses the ch_mult
+    override to keep CPU compiles tractable."""
+    common = [
+        "--model", "diff", "--prior", "regular", "--a_dim", "4",
+        "--dataset", "mnist", "--epochs", "1", "--batch_size", "16",
+        "--diffusion_steps", "6", "--save_epochs", "1",
+        "--data_dir", "synthetic", "--ch_mult", "1,2", "--attn", "1",
+        "--mmd_weight", "0.1", "--deterministic",
+    ]
+    dispatch(parse_args(common + ["--mode", "train"]))
+    assert os.path.isdir("models/mnist_4d_0.1mmd/model-1")
+
+    dispatch(parse_args(common + ["--mode", "save_latent"]))
+    assert os.path.exists("diff_mnist_4d_0_1mmd_latent.npz")
+    lat = np.load("diff_mnist_4d_0_1mmd_latent.npz")
+    assert lat["all_a"].shape == (48, 4)
+    assert lat["all_attr"].shape[0] == 48
+
+    dispatch(parse_args(common + ["--mode", "train_latent_ddim"]))
+    assert os.path.isdir("models/mnist_4d_0.1mmd_latent/model-1")
+
+    dispatch(parse_args(common + [
+        "--mode", "eval_fid", "--is_latent", "--sampling_number", "4",
+        "--batch_size", "4",
+    ]))
+    fid_dir = "imgs/mnist_4d_0.1mmd/eval-fid-latent"
+    assert len(os.listdir(fid_dir)) == 4
+
+    dispatch(parse_args(common + ["--mode", "disentangle"]))
+    dis_dir = "imgs/mnist_4d_0.1mmd/disentangle-0"
+    assert len(os.listdir(dis_dir)) == 4  # one traversal row per latent dim
+
+    dispatch(parse_args(common + ["--mode", "interpolate"]))
+    int_dir = "imgs/mnist_4d_0.1mmd/interpolate-0"
+    assert len(os.listdir(int_dir)) == 1
+
+
+@pytest.mark.slow
+def test_vae_train_eval_disentangle(workdir):
+    """VAE family e2e: train -> eval (decode prior draws) -> disentangle
+    (decoder traversal) (reference: run.py:261-264, 410-414)."""
+    common = [
+        "--model", "vae", "--prior", "regular", "--a_dim", "4",
+        "--dataset", "mnist", "--epochs", "1", "--batch_size", "16",
+        "--save_epochs", "1", "--data_dir", "synthetic",
+        "--ch_mult", "1,2", "--attn", "1", "--mmd_weight", "0.1",
+    ]
+    dispatch(parse_args(common + ["--mode", "train"]))
+    assert os.path.isdir("models/vae/mnist_4d_0.1mmd/model-1")
+    dispatch(parse_args(common + ["--mode", "eval", "--sampling_number", "4"]))
+    assert os.listdir("imgs/vae/mnist_4d_0.1mmd/eval")
+    dispatch(parse_args(common + ["--mode", "disentangle"]))
+    assert len(os.listdir("imgs/vae/mnist_4d_0.1mmd/disentangle-0")) == 4
