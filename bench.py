@@ -14,8 +14,10 @@ always samples the full T=1000 grid host-driven. A100_DDIM100_EST is an
 target is >=5x that (BASELINE.json). The estimate is fixed across rounds
 so the trend is comparable.
 
-Env knobs: INFODIFF_BENCH_BATCH (default 64), INFODIFF_BENCH_STEPS (100),
-INFODIFF_BENCH_REPS (3), INFODIFF_BENCH_BF16 (default 1).
+Env knobs: INFODIFF_BENCH_BATCH (default 128), INFODIFF_BENCH_STEPS (100),
+INFODIFF_BENCH_REPS (3), INFODIFF_BENCH_BF16 (default 1),
+INFODIFF_BENCH_MODE=train for the secondary metric (train imgs/sec/chip
+on the same flagship model; not the headline line the driver records).
 """
 
 import json
@@ -34,7 +36,51 @@ enable_compilation_cache()
 A100_DDIM100_EST = 30.0  # samples/s, documented estimate (see module doc)
 
 
+def train_main():
+    """Secondary metric: flagship train-step throughput (imgs/sec/chip)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from infodiffusion_tpu.models import InfoDiff
+    from infodiffusion_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "64"))
+    reps = int(os.environ.get("INFODIFF_BENCH_REPS", "20"))
+    use_bf16 = os.environ.get("INFODIFF_BENCH_BF16", "1") == "1"
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model = InfoDiff(
+        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        encoder_channels=64, mmd_weight=0.1, epochs=50, dtype=dtype,
+    )
+    x = jr.normal(jr.PRNGKey(0), (batch, 64, 64, 3))
+    tx = make_optimizer(1e-4, 50, 1000)
+    state = create_train_state(model, jr.PRNGKey(0), x, tx)
+    step = make_train_step(model, tx, donate=False)
+    state, m = step(state, x, 0)
+    jax.block_until_ready(m["loss"])  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = step(state, x, 0)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    ips = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "celeba64_train_imgs_per_sec_per_chip",
+                "value": round(ips, 3),
+                "unit": "imgs/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("INFODIFF_BENCH_MODE") == "train":
+        return train_main()
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))

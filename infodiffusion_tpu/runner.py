@@ -228,12 +228,26 @@ def train(cfg: Config, latent: bool = False):
     losses = AverageMeter("Loss", ":.4f")
     progress = ProgressMeter(cfg.epochs, [losses], prefix="Epoch ")
     log_every = int(os.environ.get("INFODIFF_LOG_EVERY", "50"))
+    # tracing/profiling hook (SURVEY.md §5: the reference has none):
+    # INFODIFF_PROFILE=<dir> captures an XLA trace of steps 10..20 of the
+    # first epoch, viewable in TensorBoard / xprof.
+    profile_dir = os.environ.get("INFODIFF_PROFILE")
+    profile_state = {"on": False, "done": profile_dir is None}
     for curr_epoch in range(start_epoch, cfg.epochs):
         total, count = 0.0, 0
         last_metrics = None
         for i, batch in enumerate(loader):
             if isinstance(batch, tuple):
                 batch = batch[0]
+            if not profile_state["done"]:
+                if i == 10:
+                    jax.profiler.start_trace(profile_dir)
+                    profile_state["on"] = True
+                elif i == 20 and profile_state["on"]:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profile_state.update(on=False, done=True)
+                    print(f"Saved profiler trace to {profile_dir}")
             state, metrics = step_fn(state, batch, curr_epoch)
             last_metrics = metrics
             # fetch metrics only every log_every steps: a per-step float()
