@@ -69,7 +69,11 @@ class ArrayDataset:
 @dataclasses.dataclass
 class ImageFolderDataset:
     """Lazy JPEG/PNG folder dataset: decodes + transforms per batch
-    (CelebA is ~200k JPEGs; decoding lazily keeps host RAM flat)."""
+    (CelebA is ~200k JPEGs; decoding lazily keeps host RAM flat).
+
+    Decoding uses the native C++ thread-pooled loader
+    (native/image_loader.cpp via data/native.py) when the toolchain is
+    available, with PIL as fallback/oracle."""
 
     files: List[str]
     size: int
@@ -78,8 +82,25 @@ class ImageFolderDataset:
     attrs: Optional[np.ndarray] = None
     normalize: str = "pm1"
 
+    def __post_init__(self):
+        self._native = None
+        self._native_tried = False
+
     def __len__(self):
         return len(self.files)
+
+    def _native_batcher(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from infodiffusion_tpu.data.native import NativeImageBatcher
+
+                self._native = NativeImageBatcher(
+                    self.files, self.size, self.center_crop, self.d2c
+                )
+            except Exception:
+                self._native = None
+        return self._native
 
     def _load_one(self, path: str) -> np.ndarray:
         from PIL import Image
@@ -106,7 +127,11 @@ class ImageFolderDataset:
         return np.asarray(img, dtype=np.uint8)
 
     def get_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        x = np.stack([self._load_one(self.files[i]) for i in idx])
+        nat = self._native_batcher()
+        if nat is not None:
+            x = nat.decode(np.asarray(idx))
+        else:
+            x = np.stack([self._load_one(self.files[i]) for i in idx])
         x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
         a = self.attrs[idx] if self.attrs is not None else None
         return x, a

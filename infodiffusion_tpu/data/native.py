@@ -1,0 +1,124 @@
+"""ctypes bridge to the native C++ image loader (native/image_loader.cpp).
+
+Builds the shared library on first use (g++ against system libjpeg /
+libpng) and exposes ``NativeImageBatcher`` — a thread-pooled batch
+decoder with the dataset transforms fused in. ``ImageFolderDataset``
+uses it automatically when the toolchain is present; PIL remains the
+fallback (and the parity oracle: decode differs only by resampling
+kernel rounding, tested within tolerance in tests/test_native_loader.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_FAILED = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build_lib() -> Optional[str]:
+    root = _repo_root()
+    src = os.path.join(root, "native", "image_loader.cpp")
+    if not os.path.exists(src):
+        return None
+    out_dir = os.path.join(root, "native", "build")
+    os.makedirs(out_dir, exist_ok=True)
+    so = os.path.join(out_dir, "libimage_loader.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+        "-o", so, "-ljpeg", "-lpng", "-pthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except Exception:
+        return None
+    return so
+
+
+def _get_lib():
+    global _LIB, _LIB_FAILED
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        if os.environ.get("INFODIFF_DISABLE_NATIVE"):
+            _LIB_FAILED = True
+            return None
+        so = _build_lib()
+        if so is None:
+            _LIB_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            _LIB_FAILED = True
+            return None
+        lib.idl_create.restype = ctypes.c_void_p
+        lib.idl_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.idl_destroy.argtypes = [ctypes.c_void_p]
+        lib.idl_decode_batch.restype = ctypes.c_int
+        lib.idl_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+class NativeImageBatcher:
+    """Holds a native loader handle over a fixed file list."""
+
+    def __init__(self, files: List[str], size: int, center_crop: bool,
+                 d2c: bool, threads: int = 0):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("native image loader unavailable")
+        self._lib = lib
+        self.size = size
+        self._n = len(files)
+        arr = (ctypes.c_char_p * len(files))(
+            *[f.encode() for f in files]
+        )
+        self._handle = lib.idl_create(
+            arr, len(files), size, int(center_crop), int(d2c), threads
+        )
+
+    def decode(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.ascontiguousarray(idx, dtype=np.int32)
+        b = len(idx)
+        out = np.empty((b, self.size, self.size, 3), np.uint8)
+        fails = self._lib.idl_decode_batch(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            b,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        if fails:
+            raise IOError(f"native loader: {fails}/{b} images failed to decode")
+        return out
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.idl_destroy(self._handle)
+        except Exception:
+            pass
