@@ -27,6 +27,12 @@ MODES = (
     "latent_quality",
     "train_latent_ddim",
     "plot_latent",
+    # extension: a *working* attribute-classification mode. The reference
+    # defines FeatureClassifier (models.py:836-859) and an
+    # attr_classification artifact branch (run.py:119-120,142-143) and a
+    # celeba 3-way split for it (data.py:174-181), but never wires the
+    # mode into --mode choices — dead code there, functional here.
+    "attr_classification",
 )
 PRIORS = ("regular", "10mix", "roll")
 DATASETS = ("fmnist", "mnist", "celeba", "cifar10", "dsprites", "chairs", "ffhq")

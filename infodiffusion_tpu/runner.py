@@ -326,6 +326,8 @@ def evaluate(cfg: Config):
         _mode_save_latent(cfg, model, variables)
     elif mode == "interpolate":
         _mode_interpolate(cfg, model, variables, process, rng)
+    elif mode == "attr_classification":
+        _mode_attr_classification(cfg, model, variables, rng)
     else:
         raise ValueError(mode)
 
@@ -544,6 +546,82 @@ def _mode_interpolate(cfg, model, variables, process, rng):
     else:
         sample = model.apply(variables, intp_a, method=VAE.decode)
     save_images(cfg, sample)
+
+
+def _mode_attr_classification(cfg: Config, model, variables, rng):
+    """Train the FeatureClassifier MLP probe on encoder latents and
+    report per-attribute AUROC (extension: the reference defines the
+    classifier and artifact branch but never wires the mode —
+    models.py:836-859, run.py:119-120; here it works)."""
+    import optax
+    from sklearn.metrics import roc_auc_score
+
+    from infodiffusion_tpu.models import FeatureClassifier
+
+    all_a, all_attr = _encode_dataset(cfg, model, variables)
+    y = np.asarray(all_attr)
+    if y.ndim == 1:
+        y = y[:, None]
+    y = (y > 0).astype(np.float32)
+    n = len(all_a)
+    n_tr = int(n * 0.8)
+    tr_a, te_a = all_a[:n_tr], all_a[n_tr:]
+    tr_y, te_y = y[:n_tr], y[n_tr:]
+
+    clf = FeatureClassifier(output_dim=y.shape[1])
+    cvars = clf.init(
+        {"params": jr.PRNGKey(cfg.r_seed), "dropout": jr.PRNGKey(1)},
+        jnp.asarray(tr_a[:2]),
+    )
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(cvars["params"])
+
+    @jax.jit
+    def step(params, opt_state, xb, yb, key):
+        def loss_fn(p):
+            prob = clf.apply(
+                {"params": p}, xb, deterministic=False,
+                rngs={"dropout": key},
+            )
+            eps = 1e-7
+            bce = -(yb * jnp.log(prob + eps)
+                    + (1 - yb) * jnp.log(1 - prob + eps))
+            return jnp.mean(bce)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = cvars["params"]
+    bs = min(256, n_tr)
+    key = jr.PRNGKey(cfg.r_seed)
+    for epoch in range(20):
+        perm = np.random.RandomState(epoch).permutation(n_tr)
+        for i in range(0, n_tr - bs + 1, bs):
+            key, k = jr.split(key)
+            sl = perm[i : i + bs]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(tr_a[sl]),
+                jnp.asarray(tr_y[sl]), k,
+            )
+    probs = np.asarray(clf.apply({"params": params}, jnp.asarray(te_a)))
+    aurocs = []
+    for j in range(y.shape[1]):
+        if te_y[:, j].min() == te_y[:, j].max():
+            continue
+        aurocs.append(roc_auc_score(te_y[:, j], probs[:, j]))
+    mean_auroc = float(np.mean(aurocs)) if aurocs else float("nan")
+    root = os.path.join(image_root(cfg), "attr_classification")
+    os.makedirs(root, exist_ok=True)
+    out_path = os.path.join(root, "results.json")
+    import json
+
+    with open(out_path, "w") as f:
+        json.dump({"mean_auroc": mean_auroc,
+                   "per_attr_auroc": aurocs}, f)
+    print(f"attr_classification mean AUROC: {mean_auroc:.4f} "
+          f"({len(aurocs)} attrs) -> {out_path}")
+    return mean_auroc
 
 
 def save_original_img(cfg: Config):

@@ -163,6 +163,12 @@ def test_infodiff_full_latent_pipeline(workdir):
     int_dir = "imgs/mnist_4d_0.1mmd/interpolate-0"
     assert len(os.listdir(int_dir)) == 1
 
+    # extension mode: working attribute classification over the latents
+    dispatch(parse_args(common + ["--mode", "attr_classification"]))
+    assert os.path.exists(
+        "imgs/mnist_4d_0.1mmd/attr_classification/results.json"
+    )
+
 
 @pytest.mark.slow
 def test_vae_train_eval_disentangle(workdir):

@@ -172,3 +172,17 @@ def test_feature_classifier():
     y = m.apply(v, x, rngs=APPLY_RNGS)
     assert y.shape == (2, 40)
     assert ((np.asarray(y) >= 0) & (np.asarray(y) <= 1)).all()
+
+
+def test_bf16_policy_params_stay_f32():
+    """--bf16 activation policy: params are f32, loss finite
+    (schedule/norm statistics are f32 by construction)."""
+    m = Diff(T=8, shape=(1, 8, 8), is_latent=True, dtype=jnp.bfloat16)
+    x = jnp.zeros((4, 8), jnp.float32)
+    v = m.init(RNGS, x, 0, method=Diff.loss_fn)
+    for leaf in jax.tree.leaves(v["params"]):
+        assert leaf.dtype == jnp.float32
+    loss, _ = m.apply(v, x, 0, method=Diff.loss_fn, rngs=APPLY_RNGS)
+    assert jnp.isfinite(loss)
+    out = m.apply(v, x, jnp.zeros((4,), jnp.int32))
+    assert out.dtype == jnp.bfloat16
