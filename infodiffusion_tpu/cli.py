@@ -15,7 +15,10 @@ from typing import Optional, Sequence
 from infodiffusion_tpu.config import Config, DATASETS, MODELS, MODES, PRIORS
 
 
-def build_parser() -> argparse.ArgumentParser:
+def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
+    """``require_mode=False`` serves eval_disentanglement.py: the
+    reference's eval_disentangle.sh omits --mode though its argparse
+    requires it (another broken-as-shipped script)."""
     p = argparse.ArgumentParser()
     p.add_argument("--r_seed", type=int, default=0,
                    help="the value of given random seed")
@@ -23,7 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="the id of given img")
     p.add_argument("--model", required=True, choices=list(MODELS),
                    help="which type of model to run")
-    p.add_argument("--mode", required=True, choices=list(MODES),
+    p.add_argument("--mode", required=require_mode, choices=list(MODES),
+                   default="save_latent" if not require_mode else None,
                    help="which mode to run")
     p.add_argument("--prior", required=True, choices=list(PRIORS),
                    help="which type of prior to run")

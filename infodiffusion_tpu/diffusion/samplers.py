@@ -195,18 +195,43 @@ def strided_ddim_loop(
 # ---------------------------------------------------------------------------
 
 
+def _shard_for_mesh(mesh, params, batch_arrays):
+    """Shard sampling batches over the mesh's data axis and replicate
+    params; no-op when mesh is None or the batch doesn't divide the
+    axis. Eval-time batch parallelism the reference (single-GPU) lacks."""
+    if mesh is None:
+        return params, batch_arrays
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = int(_np.prod(mesh.devices.shape))
+    sizes = [a.shape[0] for a in batch_arrays if a is not None]
+    if not sizes or any(s % n for s in sizes):
+        return params, batch_arrays
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params, repl)
+    batch_arrays = [
+        jax.device_put(a, data) if a is not None else None
+        for a in batch_arrays
+    ]
+    return params, batch_arrays
+
+
 class DiffusionProcess:
     """API-parity wrapper (reference: sampling.py:3-101).
 
     ``model`` is an InfoDiff/Diff Flax module; ``params`` its variables.
     ``sampling`` draws xT ~ N(0, I) (and a ~ N(0, I_a) for conditional
     models) when not given, like the reference (sampling.py:89-101).
+    ``mesh``: optional data mesh — sampling batches shard over it.
     """
 
-    def __init__(self, cfg, model, params, shape=None):
+    def __init__(self, cfg, model, params, shape=None, mesh=None):
         self.cfg = cfg
         self.model = model
         self.params = params
+        self.mesh = mesh
         # shape in reference (C, H, W) convention -> NHWC here
         c, h, w = shape if shape is not None else cfg.shape
         self.data_shape = (h, w, c)
@@ -245,11 +270,12 @@ class DiffusionProcess:
             xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
         if self.is_conditional and a is None:
             a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
+        params, (xT, a) = _shard_for_mesh(self.mesh, self.params, [xT, a])
         if num_steps is None:
             num_steps = self.cfg.sampling_steps
         if num_steps is not None:
-            return self._jit_strided(self.params, xT, a, k_s, num_steps=num_steps)
-        return self._jit_sample(self.params, xT, a, k_s)
+            return self._jit_strided(params, xT, a, k_s, num_steps=num_steps)
+        return self._jit_sample(params, xT, a, k_s)
 
     def reverse_sampling(self, x0, a=None):
         return self._jit_reverse(self.params, x0, a)
@@ -259,8 +285,10 @@ class TwoPhaseDiffusionProcess:
     """API-parity wrapper (reference: sampling.py:104-204). fn_1 is the
     conditional InfoDiff, fn_2 the unconditional vanilla Diff."""
 
-    def __init__(self, cfg, model1, params1, model2, params2, shape=None):
+    def __init__(self, cfg, model1, params1, model2, params2, shape=None,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.model1, self.params1 = model1, params1
         self.model2, self.params2 = model2, params2
         c, h, w = shape if shape is not None else cfg.shape
@@ -290,7 +318,9 @@ class TwoPhaseDiffusionProcess:
             xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
         if a is None:
             a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
-        return self._jit_sample(self.params1, self.params2, xT, a, k_s)
+        params1, (xT, a) = _shard_for_mesh(self.mesh, self.params1, [xT, a])
+        params2, _ = _shard_for_mesh(self.mesh, self.params2, [xT])
+        return self._jit_sample(params1, params2, xT, a, k_s)
 
     def reverse_sampling(self, x0, a=None):
         return self._jit_reverse(self.params1, x0, a)
@@ -300,10 +330,11 @@ class LatentDiffusionProcess:
     """Sampler over the a_dim latent space with the trained LatentUNet
     (reference: sampling.py:207-292)."""
 
-    def __init__(self, cfg, model, params):
+    def __init__(self, cfg, model, params, mesh=None):
         self.cfg = cfg
         self.model = model
         self.params = params
+        self.mesh = mesh
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
@@ -326,7 +357,8 @@ class LatentDiffusionProcess:
         k_x, k_s = jr.split(key)
         if xT is None:
             xT = jr.normal(k_x, (sampling_number, self.cfg.a_dim))
-        return self._jit_sample(self.params, xT, k_s)
+        params, (xT,) = _shard_for_mesh(self.mesh, self.params, [xT])
+        return self._jit_sample(params, xT, k_s)
 
     def reverse_sampling(self, x0):
         return self._jit_reverse(self.params, x0)

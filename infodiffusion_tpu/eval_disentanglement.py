@@ -70,6 +70,21 @@ def load_latents(cfg: Config, dataset: str, npz_path: Optional[str] = None):
         y[:, 3] = y[:, 3] * 14 - 10.5
         y[:, 5] = y[:, 5] * 14 / 60 + 7
         y = y.astype(np.int64)
+    elif dataset == "ffhq":
+        # reference reads labels from ffhq_labels.csv (columns 2+, first
+        # 69952 rows; eval_disentanglement.py:397-401)
+        import os
+
+        a = all_a[:, :]
+        if os.path.exists("ffhq_labels.csv"):
+            import pandas as pd
+
+            y = pd.read_csv("ffhq_labels.csv").values[:, 2:].astype(np.int64)
+            n = min(len(a), len(y), 69952)
+            a, y = a[:n], y[:n]
+        else:
+            y = all_attr if all_attr.ndim == 2 else all_attr[:, None]
+            y = y.astype(np.int64)
     else:
         a = all_a
         y = all_attr if all_attr.ndim == 2 else all_attr[:, None]
@@ -145,7 +160,7 @@ def evaluate_latents(a, y, dataset: str, verbose: bool = True):
 
 
 def main(argv: Optional[Sequence[str]] = None):
-    args = build_parser().parse_args(argv)
+    args = build_parser(require_mode=False).parse_args(argv)
     cfg = Config(**vars(args))
     a, y = load_latents(cfg, cfg.dataset)
     return evaluate_latents(a, y, cfg.dataset)

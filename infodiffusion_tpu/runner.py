@@ -308,9 +308,10 @@ def evaluate(cfg: Config):
     cfg, model, variables = _build_eval(cfg)
     mode = cfg.mode
 
+    mesh = make_mesh(cfg.mesh_devices) if jax.device_count() > 1 else None
     process = None
     if cfg.model in ("diff", "vanilla"):
-        process = DiffusionProcess(cfg, model, variables)
+        process = DiffusionProcess(cfg, model, variables, mesh=mesh)
 
     if mode == "eval":
         _mode_eval(cfg, model, variables, process, rng)
@@ -373,12 +374,15 @@ def _mode_eval_fid(cfg, model, variables, rng):
     print(f"Saving images to {root}")
     if cfg.model == "diff":
         model2, vars2 = _second_model(cfg)
+        mesh = make_mesh(cfg.mesh_devices) if jax.device_count() > 1 else None
         if cfg.is_latent:
-            process = DiffusionProcess(cfg, model, variables)
-            process_latent = LatentDiffusionProcess(cfg, model2, vars2)
+            process = DiffusionProcess(cfg, model, variables, mesh=mesh)
+            process_latent = LatentDiffusionProcess(
+                cfg, model2, vars2, mesh=mesh
+            )
         else:
             process = TwoPhaseDiffusionProcess(
-                cfg, model, variables, model2, vars2
+                cfg, model, variables, model2, vars2, mesh=mesh
             )
         for sample_num in range(0, cfg.sampling_number, cfg.batch_size):
             rng, k1, k2 = jr.split(rng, 3)
