@@ -55,12 +55,15 @@ def test_train_latent_ddim_pipeline(workdir):
 @pytest.mark.slow
 def test_vanilla_train_then_eval(workdir):
     """train 1 epoch -> eval mode produces sample PNGs
-    (reference: run.py:161-212, 256-264)."""
-    cfg = parse_args(_args([]))
+    (reference: run.py:161-212, 256-264). Shallow ch_mult override keeps
+    the CPU compile tractable; the deep default path is exercised on the
+    real TPU by bench.py/__graft_entry__."""
+    cfg = parse_args(_args(["--ch_mult", "1,2", "--attn", "1"]))
     dispatch(cfg)
     assert os.path.isdir("models/diff/mnist_8d_0.1mmd/model-1")
 
-    cfg = parse_args(_args(["--mode", "eval", "--epochs", "1"]))
+    cfg = parse_args(_args(["--mode", "eval", "--epochs", "1",
+                            "--ch_mult", "1,2", "--attn", "1"]))
     dispatch(cfg)
     evaldir = "imgs/diff/mnist_8d_0.1mmd/eval"
     assert os.path.isdir(evaldir) and len(os.listdir(evaldir)) >= 1
