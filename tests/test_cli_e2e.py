@@ -68,6 +68,11 @@ def test_vanilla_train_then_eval(workdir):
     evaldir = "imgs/diff/mnist_8d_0.1mmd/eval"
     assert os.path.isdir(evaldir) and len(os.listdir(evaldir)) >= 1
 
+    # save_original_img: dataset dump for FID stats (reference:
+    # run.py:540-549 — one grid PNG per batch)
+    dispatch(parse_args(_args(["--mode", "save_original_img"])))
+    assert len(os.listdir("mnist_imgs")) == 3  # 48 synthetic / batch 16
+
 
 def test_metrics_writer_jsonl(workdir):
     from infodiffusion_tpu.logging_utils import MetricsWriter
@@ -171,6 +176,18 @@ def test_infodiff_full_latent_pipeline(workdir):
     assert os.path.exists(
         "imgs/mnist_4d_0.1mmd/attr_classification/results.json"
     )
+
+    # plot_latent: 2-D scatter of latents (reference: run.py:342-370)
+    dispatch(parse_args(common + ["--mode", "plot_latent"]))
+    assert os.path.exists("imgs/mnist_4d_0.1mmd/plot_latent/plot_latent.png")
+
+    # latent_quality: fixed a, fresh xT draws (reference: run.py:310-341;
+    # batch forced to 1, sampling_number tiles)
+    dispatch(parse_args(common + [
+        "--mode", "latent_quality", "--sampling_number", "3",
+    ]))
+    lq = "imgs/mnist_4d_0.1mmd/latent_quality"
+    assert len(os.listdir(lq)) == 3
 
 
 @pytest.mark.slow

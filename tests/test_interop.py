@@ -1,0 +1,131 @@
+"""Torch-checkpoint interop tests: round-trip export->load bijection and
+reference key-name/layout fidelity (reference: run.py:157 state_dict
+checkpoints; module tree in models.py/modules.py)."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from infodiffusion_tpu.interop import (
+    export_torch_state_dict,
+    load_torch_state_dict,
+    param_key_map,
+)
+from infodiffusion_tpu.models import Diff, InfoDiff, VAE
+
+RNGS = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+        "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)}
+
+
+def _roundtrip(model, params):
+    sd = export_torch_state_dict(model, params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    restored = load_torch_state_dict(model, zeros, sd, strict=True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, restored,
+    )
+    return sd
+
+
+def test_infodiff_roundtrip_and_reference_keys():
+    model = InfoDiff(T=8, a_dim=4, shape=(1, 16, 16), unets_channels=32,
+                     encoder_channels=32, epochs=2)
+    x = jnp.zeros((1, 16, 16, 1))
+    v = model.init(RNGS, x, 0, method=InfoDiff.loss_fn)
+    sd = _roundtrip(model, v["params"])
+
+    # reference module-tree key spots (models.py:237-326, 424-518):
+    # [1,2,2,2]: downblocks interleave DownSample at 2, 5, 8
+    assert "backbone.head.weight" in sd
+    assert sd["backbone.head.weight"].shape == (32, 1, 3, 3)  # OIHW
+    assert "backbone.downblocks.0.block1.2.weight" in sd
+    assert "backbone.downblocks.2.main.weight" in sd  # DownSample
+    assert "backbone.downblocks.3.temb_proj.1.weight" in sd
+    assert "backbone.downblocks.3.aemb_proj.1.weight" in sd
+    assert "backbone.middleblocks.0.attn.proj_q.weight" in sd
+    assert sd["backbone.middleblocks.0.attn.proj_q.weight"].ndim == 4  # 1x1
+    assert "backbone.upblocks.3.main.weight" in sd  # UpSample after 3 blocks
+    assert "backbone.upblocks.4.block1.0.weight" in sd
+    assert "backbone.tail.2.weight" in sd
+    assert "backbone.time_embedding.timembedding.1.weight" in sd
+    assert "backbone.fc_a.weight" in sd
+    assert "encoder.fc_mu.weight" in sd
+    # attention sits at level 2 -> downblocks.6/7 carry attn
+    assert "backbone.downblocks.6.attn.proj.weight" in sd
+    # torch linear layout [out, in]
+    assert sd["backbone.fc_a.weight"].shape == (128, 4)  # tdim=4*32
+
+
+def test_bottleneck_fc_a_key():
+    model = InfoDiff(T=8, a_dim=4, shape=(1, 16, 16), unets_channels=32,
+                     encoder_channels=32, epochs=2, is_bottleneck=True)
+    x = jnp.zeros((1, 16, 16, 1))
+    v = model.init(RNGS, x, 0, method=InfoDiff.loss_fn)
+    sd = _roundtrip(model, v["params"])
+    # Sequential(SiLU, Linear) -> fc_a.1 (reference: models.py:336-339)
+    assert "backbone.fc_a.1.weight" in sd
+    assert "backbone.fc_a.weight" not in sd
+
+
+def test_vanilla_unet_roundtrip():
+    model = Diff(T=8, shape=(1, 16, 16), unets_channels=32,
+                 ch_mult=(1, 2), attn=(1,))
+    x = jnp.zeros((1, 16, 16, 1))
+    v = model.init(RNGS, x, 0, method=Diff.loss_fn)
+    sd = _roundtrip(model, v["params"])
+    assert "backbone.downblocks.1.block2.3.weight" in sd
+    assert "backbone.downblocks.1.block3.3.weight" in sd  # 3-conv ResBlock
+
+
+def test_latent_unet_roundtrip():
+    model = Diff(T=8, shape=(1, 8, 8), is_latent=True)
+    x = jnp.zeros((2, 8))
+    v = model.init(RNGS, x, 0, method=Diff.loss_fn)
+    sd = _roundtrip(model, v["params"])
+    assert "backbone.time_embed.0.weight" in sd
+    assert "backbone.time_embed.2.weight" in sd
+    assert "backbone.layers.0.linear.weight" in sd
+    assert "backbone.layers.1.linear_emb.weight" in sd
+    assert "backbone.layers.1.norm.weight" in sd
+    assert "backbone.layers.9.linear.weight" in sd
+    assert sd["backbone.layers.0.linear.weight"].shape == (32, 8)  # [out,in]
+
+
+def test_vae_roundtrip_with_decoder_fca_permutation():
+    model = VAE(a_dim=4, shape=(1, 8, 8), encoder_channels=32,
+                ch_mult=(1, 2), attn=(1,))
+    x = jnp.zeros((1, 8, 8, 1))
+    v = model.init(RNGS, x, 0, method=VAE.loss_fn)
+    sd = _roundtrip(model, v["params"])
+    assert "decoder.fc_a.weight" in sd
+    assert sd["decoder.fc_a.weight"].shape == (64, 4)  # [C*H*W, a_dim]
+    # the functional check: torch-side NCHW reshape of fc_a output must
+    # equal our NHWC reshape of the flax kernel's output
+    a = np.random.RandomState(0).randn(4).astype(np.float32)
+    torch_out = sd["decoder.fc_a.weight"] @ a + sd["decoder.fc_a.bias"]
+    torch_img = torch_out.reshape(1, 8, 8)  # C, H, W
+    flax_k = np.asarray(v["params"]["decoder"]["fc_a"]["kernel"])
+    flax_b = np.asarray(v["params"]["decoder"]["fc_a"]["bias"])
+    flax_img = (a @ flax_k + flax_b).reshape(8, 8, 1)  # H, W, C
+    np.testing.assert_allclose(
+        torch_img.transpose(1, 2, 0), flax_img, atol=1e-6
+    )
+
+
+def test_load_ignores_dead_crossattn_keys():
+    model = Diff(T=8, shape=(1, 8, 8), is_latent=True)
+    x = jnp.zeros((2, 8))
+    v = model.init(RNGS, x, 0, method=Diff.loss_fn)
+    sd = export_torch_state_dict(model, v["params"])
+    sd["backbone.crossattn.proj.weight"] = np.zeros((4, 4, 1, 1))
+    # non-strict load ignores extras (reference loads strict=False,
+    # run.py:233); strict load flags them
+    load_torch_state_dict(model, v["params"], sd, strict=False)
+    with pytest.raises(KeyError):
+        sd2 = dict(sd)
+        sd2["backbone.unexpected.weight"] = np.zeros((2, 2))
+        load_torch_state_dict(model, v["params"], sd2, strict=True)
