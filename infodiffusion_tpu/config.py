@@ -101,6 +101,9 @@ class Config:
     # Resume training from the latest checkpoint if present (new capability:
     # the reference saves weights only and cannot resume; run.py:145-158).
     resume: bool = False
+    # EMA of parameters (0 = off, like the reference; e.g. 0.9999).
+    # When on, checkpoints carry ema_params and eval prefers them.
+    ema_decay: float = 0.0
     # Architecture overrides (None -> the reference's hardcoded ch_mult
     # table and attn=[2]; models.py:619-622,743-746 / models.py:8).
     # Comma-separated ints, e.g. "1,2,2,2" / "1".

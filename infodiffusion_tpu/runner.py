@@ -120,7 +120,9 @@ def _init_state(cfg: Config, model, loader, rng, latent=False):
     if isinstance(example, tuple):
         example = example[0]
     example = jax.device_get(example)
-    state = create_train_state(model, rng, jnp.asarray(example), tx)
+    state = create_train_state(
+        model, rng, jnp.asarray(example), tx, ema=cfg.ema_decay > 0
+    )
     return tx, state, steps_per_epoch
 
 
@@ -214,7 +216,7 @@ def train(cfg: Config, latent: bool = False):
     tx, state, steps_per_epoch = _init_state(cfg, model, loader, rng, latent)
     if mesh is not None:
         state = replicate(mesh, state)
-    step_fn = make_train_step(model, tx)
+    step_fn = make_train_step(model, tx, ema_decay=cfg.ema_decay)
 
     ckpt_root = checkpoint_root(cfg, latent=latent)
     start_epoch = 0

@@ -65,14 +65,18 @@ def restore_checkpoint(root: str, epoch: int, target: TrainState) -> TrainState:
     return ckptr.restore(_path(root, epoch), target)
 
 
-def restore_params(root: str, epoch: int, target_params):
+def restore_params(root: str, epoch: int, target_params,
+                   prefer_ema: bool = True):
     """Weights-only restore for eval modes, shaped by ``target_params``
     (the reference loads with strict=False to skip its dead CrossAttn
     params, run.py:233; our checkpoints carry no dead weights so an
-    exact-shape restore suffices)."""
+    exact-shape restore suffices). When the checkpoint carries EMA
+    params (trained with --ema_decay) they are preferred."""
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(_path(root, epoch))
     params = restored["params"]
+    if prefer_ema and restored.get("ema_params") is not None:
+        params = restored["ema_params"]
     # sanity: structure must match the model being evaluated
     jax.tree.map(lambda a, b: None, params, target_params)
     return params

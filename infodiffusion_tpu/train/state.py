@@ -34,12 +34,17 @@ class TrainState(struct.PyTreeNode):
     """Minimal train state: everything needed to resume exactly —
     params, optimizer state, step counter and the root RNG key. (The
     reference checkpoints weights only and cannot resume;
-    run.py:145-158. Full-state checkpointing is a new capability.)"""
+    run.py:145-158. Full-state checkpointing is a new capability.)
+
+    ``ema_params`` (optional) holds an exponential moving average of the
+    params — standard diffusion-training practice the reference lacks;
+    enabled with --ema_decay and preferred by eval when present."""
 
     step: jnp.ndarray
     params: Any
     opt_state: Any
     rng: jax.Array
+    ema_params: Any = None
 
     def replace_step(self, **kw):
         return self.replace(**kw)
@@ -82,7 +87,8 @@ def make_optimizer(
 
 
 def create_train_state(
-    model, rng: jax.Array, example_batch, tx: optax.GradientTransformation
+    model, rng: jax.Array, example_batch, tx: optax.GradientTransformation,
+    ema: bool = False,
 ) -> TrainState:
     """Initialize params via the model's loss path (so every submodule —
     encoder, backbone, FiLM projections — is materialized)."""
@@ -111,4 +117,5 @@ def create_train_state(
         params=params,
         opt_state=tx.init(params),
         rng=k_state,
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
     )

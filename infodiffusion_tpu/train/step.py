@@ -29,6 +29,7 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Returns jitted ``step_fn(state, batch, curr_epoch) -> (state, metrics)``.
 
@@ -55,8 +56,15 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_decay > 0.0 and ema_params is not None:
+            d = ema_decay
+            ema_params = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), ema_params, params
+            )
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema_params,
         )
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         metrics.update(aux)

@@ -22,5 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: UNet train-step compiles dominate suite
+# wall time (~12min cold); warm runs reuse them
+from infodiffusion_tpu.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/infodiff_xla_cpu"))
+
 assert jax.default_backend() == "cpu"
 assert jax.local_device_count() == 8

@@ -189,6 +189,22 @@ def test_infodiff_full_latent_pipeline(workdir):
     lq = "imgs/mnist_4d_0.1mmd/latent_quality"
     assert len(os.listdir(lq)) == 3
 
+    # two-phase eval_fid (without --is_latent): needs a separately
+    # trained vanilla UNet at models/diff/{dataset}_{a_dim}d
+    # (reference: run.py:245-251, 280)
+    vanilla = [a for a in common]
+    vanilla[vanilla.index("diff")] = "vanilla"
+    mi = vanilla.index("--mmd_weight")
+    vanilla[mi + 1] = "0"
+    dispatch(parse_args(vanilla + ["--mode", "train"]))
+    assert os.path.isdir("models/diff/mnist_4d/model-1")
+    dispatch(parse_args(common + [
+        "--mode", "eval_fid", "--sampling_number", "4",
+        "--batch_size", "4", "--split_step", "3",
+    ]))
+    fid2 = "imgs/mnist_4d_0.1mmd/eval-fid-fast"
+    assert len(os.listdir(fid2)) == 4
+
 
 @pytest.mark.slow
 def test_vae_train_eval_disentangle(workdir):

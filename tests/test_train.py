@@ -139,3 +139,39 @@ def test_infodiff_conv_train_step_with_mmd_on_mesh():
         float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-4
     )
     assert np.isfinite(float(m_single["kld"]))
+
+
+def test_ema_params_track_and_checkpoint(tmp_path):
+    """EMA params update as ema*d + p*(1-d) per step and round-trip
+    through checkpoints (new capability; the reference has no EMA)."""
+    model = Diff(T=8, shape=(1, 16, 16), is_latent=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 16), jnp.float32)
+    tx = make_optimizer(1e-2, 3, 4)
+    state = create_train_state(model, jr.PRNGKey(0), x, tx, ema=True)
+    step = make_train_step(model, tx, donate=False, ema_decay=0.5)
+    p0 = jax.tree.map(np.asarray, state.params)
+    s1, _ = step(state, x, 0)
+    want = jax.tree.map(
+        lambda e, p: 0.5 * e + 0.5 * np.asarray(p), p0, s1.params
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6),
+        s1.ema_params, want,
+    )
+    # ema differs from live params, and checkpoints round-trip it
+    root = str(tmp_path / "ema_ckpt")
+    save_checkpoint(root, 1, s1)
+    restored = restore_checkpoint(root, 1, s1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b)),
+        s1.ema_params, restored.ema_params,
+    )
+    from infodiffusion_tpu.train.checkpoint import restore_params
+
+    ema_restored = restore_params(root, 1, s1.params, prefer_ema=True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b)),
+        s1.ema_params, ema_restored,
+    )
