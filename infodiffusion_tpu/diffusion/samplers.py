@@ -32,7 +32,6 @@ model params (callers jit the whole loop with params as an argument);
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

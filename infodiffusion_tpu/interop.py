@@ -26,7 +26,7 @@ interleaves UpSample every num_res_blocks+1 blocks; models.py:16-46).
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import numpy as np
@@ -288,7 +288,6 @@ def load_torch_state_dict(model, params, state_dict: Dict[str, np.ndarray],
     (run.py:233): unused torch keys (e.g. dead crossattn params) are
     ignored. Missing keys always raise."""
     kmap = param_key_map(model, params)
-    from infodiffusion_tpu.models import Decoder  # noqa: F401  (doc ref)
 
     decoder_shape = None
     if hasattr(model, "shape"):

@@ -9,7 +9,7 @@ instead of the reference's O(dim_y^2) Python loop.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import scipy.stats

@@ -19,7 +19,7 @@ configs and converted at the call boundary.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,7 +17,7 @@ are computed in f32 regardless of activation dtype (bf16-safe).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

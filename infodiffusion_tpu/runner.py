@@ -10,8 +10,6 @@ batched jitted encoding for save_latent.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -27,8 +25,8 @@ from infodiffusion_tpu.diffusion import (
 )
 from infodiffusion_tpu.imaging import save_image
 from infodiffusion_tpu.logging_utils import MetricsWriter
-from infodiffusion_tpu.models import Diff, InfoDiff, VAE, build_model
-from infodiffusion_tpu.parallel import make_mesh, replicate, shard_batch
+from infodiffusion_tpu.models import VAE, build_model
+from infodiffusion_tpu.parallel import make_mesh, replicate
 from infodiffusion_tpu.train import (
     create_train_state,
     latest_checkpoint_epoch,

@@ -20,10 +20,8 @@ the global step, given steps_per_epoch.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
-import chex
 import jax
 import jax.numpy as jnp
 import optax

@@ -14,11 +14,9 @@ shape (keys are derived from globals, not per-device state).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import jax.random as jr
 import optax
 

@@ -7,7 +7,6 @@ train step instead of forcing a host round-trip per batch.
 
 from __future__ import annotations
 
-import math
 import random as _pyrandom
 
 import jax.numpy as jnp
