@@ -76,6 +76,12 @@ def _get_lib():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        lib.idl_write_png_batch.restype = ctypes.c_int
+        lib.idl_write_png_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -122,3 +128,24 @@ class NativeImageBatcher:
                 self._lib.idl_destroy(self._handle)
         except Exception:
             pass
+
+
+def write_png_batch(paths, batch_u8, threads: int = 0) -> bool:
+    """Write [B, H, W, C] uint8 (C in {1, 3}) to PNG files with the
+    native thread pool; returns False when unavailable (caller falls
+    back to PIL)."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    batch_u8 = np.ascontiguousarray(batch_u8, dtype=np.uint8)
+    b, h, w, c = batch_u8.shape
+    if c not in (1, 3) or len(paths) != b:
+        return False
+    arr = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    fails = lib.idl_write_png_batch(
+        arr, batch_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        b, h, w, c, threads,
+    )
+    if fails:
+        raise IOError(f"native png writer: {fails}/{b} failed")
+    return True

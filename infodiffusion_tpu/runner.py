@@ -357,15 +357,29 @@ def _fid_root(cfg) -> str:
 
 def _save_fid_batch(cfg, root, batch, sample_num) -> bool:
     """Clip to [-1,1], rescale to [0,1], one PNG per sample
-    (reference: run.py:288-295). Returns False when the quota is hit."""
-    arr = np.clip(np.asarray(batch), -1, 1)
+    (reference: run.py:288-295). Returns False when the quota is hit.
+    Uses the native thread-pooled PNG writer when available (10k PNGs
+    through single-threaded PIL is an eval_fid bottleneck)."""
+    arr = np.clip(np.asarray(batch, np.float32), -1, 1)
     arr = (arr + 1.0) / 2.0
-    for bn, img in enumerate(arr):
-        num = sample_num + bn
-        if num >= cfg.sampling_number:
-            return False
-        save_image(img, os.path.join(root, f"sample-{num:06d}.png"))
-    return True
+    n = min(len(arr), cfg.sampling_number - sample_num)
+    full = n == len(arr)
+    arr = arr[:n]
+    u8 = (arr * 255.0 + 0.5).astype(np.uint8)
+    paths = [
+        os.path.join(root, f"sample-{sample_num + bn:06d}.png")
+        for bn in range(n)
+    ]
+    try:
+        from infodiffusion_tpu.data.native import write_png_batch
+
+        if u8.ndim == 4 and write_png_batch(paths, u8):
+            return full
+    except Exception:
+        pass
+    for bn in range(n):
+        save_image(arr[bn], paths[bn])
+    return full
 
 
 def _mode_eval_fid(cfg, model, variables, rng):

@@ -307,3 +307,45 @@ int idl_decode_batch(void* h, const int* idx, int b, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------ PNG writer
+//
+// Thread-pooled batch PNG writer for eval_fid's 10k-image dumps
+// (reference writes one PIL PNG at a time, run.py:289-295).
+
+extern "C" {
+
+// data: [b, h, w, c] uint8 (c == 1 or 3); returns number of failures
+int idl_write_png_batch(const char** paths, const uint8_t* data, int b,
+                        int h, int w, int c, int threads) {
+  if (c != 1 && c != 3) return b;
+  const size_t stride = size_t(h) * w * c;
+  std::atomic<int> next(0), fails(0);
+  int nthreads = threads > 0 ? threads
+                             : int(std::thread::hardware_concurrency());
+  if (nthreads > b) nthreads = b;
+  if (nthreads < 1) nthreads = 1;
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) {
+    ts.emplace_back([&]() {
+      for (int i = next.fetch_add(1); i < b; i = next.fetch_add(1)) {
+        png_image img;
+        std::memset(&img, 0, sizeof(img));
+        img.version = PNG_IMAGE_VERSION;
+        img.width = w;
+        img.height = h;
+        img.format = (c == 3) ? PNG_FORMAT_RGB : PNG_FORMAT_GRAY;
+        if (!png_image_write_to_file(&img, paths[i], 0,
+                                     data + stride * i, 0, nullptr)) {
+          fails.fetch_add(1);
+        }
+        png_image_free(&img);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return fails.load();
+}
+
+}  // extern "C"

@@ -95,3 +95,21 @@ def test_native_faster_than_pil(tmp_path):
         ds.get_batch(idx)
     t_pil = time.perf_counter() - t0
     assert t_native < t_pil * 1.5  # typically several x faster
+
+
+def test_native_png_writer_roundtrip(tmp_path):
+    from PIL import Image
+
+    from infodiffusion_tpu.data.native import write_png_batch
+
+    rng = np.random.RandomState(0)
+    batch = rng.randint(0, 255, (6, 16, 16, 3), dtype=np.uint8)
+    paths = [str(tmp_path / f"w{i}.png") for i in range(6)]
+    assert write_png_batch(paths, batch)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), batch[i])
+    # grayscale
+    g = rng.randint(0, 255, (2, 8, 8, 1), dtype=np.uint8)
+    gp = [str(tmp_path / f"g{i}.png") for i in range(2)]
+    assert write_png_batch(gp, g)
+    np.testing.assert_array_equal(np.asarray(Image.open(gp[1])), g[1, :, :, 0])
