@@ -46,7 +46,7 @@ def train_main():
         create_train_state, make_optimizer, make_train_step,
     )
 
-    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "20"))
     use_bf16 = os.environ.get("INFODIFF_BENCH_BF16", "1") == "1"
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
@@ -57,7 +57,7 @@ def train_main():
     x = jr.normal(jr.PRNGKey(0), (batch, 64, 64, 3))
     tx = make_optimizer(1e-4, 50, 1000)
     state = create_train_state(model, jr.PRNGKey(0), x, tx)
-    step = make_train_step(model, tx, donate=False)
+    step = make_train_step(model, tx, donate=True)
     state, m = step(state, x, 0)
     jax.block_until_ready(m["loss"])  # compile + warmup
     t0 = time.perf_counter()
