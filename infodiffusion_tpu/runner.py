@@ -255,6 +255,14 @@ def train(cfg: Config, latent: bool = False):
             # pays exactly that via loss.item(); run.py:201)
             if i % log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()}
+                # failure detection (SURVEY.md §5: none in the reference):
+                # fail fast on divergence instead of training on NaNs
+                if not np.isfinite(vals["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss {vals['loss']} at step "
+                        f"{int(state.step)} (epoch {curr_epoch}) — "
+                        f"check LR/precision; metrics: {vals}"
+                    )
                 total += vals["loss"]
                 count += 1
                 writer.write(int(state.step), vals)
