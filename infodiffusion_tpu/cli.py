@@ -98,6 +98,9 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the latest checkpoint")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params+optimizer state over the data axis "
+                        "(ZeRO-style memory scaling)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="EMA decay for eval weights (0 = off)")
     p.add_argument("--ch_mult", type=str, default=None,

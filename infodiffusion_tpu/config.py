@@ -101,6 +101,9 @@ class Config:
     # Resume training from the latest checkpoint if present (new capability:
     # the reference saves weights only and cannot resume; run.py:145-158).
     resume: bool = False
+    # FSDP/ZeRO: shard params + optimizer state over the data axis
+    # (memory scaling for larger derivatives; math identical to DP).
+    fsdp: bool = False
     # EMA of parameters (0 = off, like the reference; e.g. 0.9999).
     # When on, checkpoints carry ema_params and eval prefers them.
     ema_decay: float = 0.0

@@ -213,7 +213,12 @@ def train(cfg: Config, latent: bool = False):
     writer = MetricsWriter(log_dir, use_tb=cfg.tb_logger)
     tx, state, steps_per_epoch = _init_state(cfg, model, loader, rng, latent)
     if mesh is not None:
-        state = replicate(mesh, state)
+        if cfg.fsdp:
+            from infodiffusion_tpu.parallel import shard_state_fsdp
+
+            state = shard_state_fsdp(mesh, state)
+        else:
+            state = replicate(mesh, state)
     step_fn = make_train_step(model, tx, ema_decay=cfg.ema_decay)
 
     ckpt_root = checkpoint_root(cfg, latent=latent)

@@ -175,3 +175,41 @@ def test_ema_params_track_and_checkpoint(tmp_path):
             np.asarray(a), np.asarray(b)),
         s1.ema_params, ema_restored,
     )
+
+
+def test_fsdp_sharded_step_matches_replicated(setup):
+    """FSDP/ZeRO placement: params + Adam moments sharded over the data
+    axis must produce the same step as the replicated layout, while
+    large params are actually distributed (new scaling capability)."""
+    from infodiffusion_tpu.parallel import shard_state_fsdp
+    from jax.sharding import PartitionSpec as P
+
+    _model, x, _tx, state, step = setup
+    mesh = make_mesh(8)
+    s_repl, m_repl = step(replicate(mesh, state), shard_batch(mesh, x), 0)
+
+    state_f = shard_state_fsdp(mesh, state, min_size=128)
+    # at least one large param is genuinely sharded
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(state_f.params)
+        if leaf.size >= 128
+    ]
+    assert any(s != P() for s in specs)
+    s_fsdp, m_fsdp = step(state_f, shard_batch(mesh, x), 0)
+    np.testing.assert_allclose(
+        float(m_fsdp["loss"]), float(m_repl["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        s_repl.params, s_fsdp.params,
+    )
+    # the updated state keeps the FSDP layout (no silent re-replication)
+    out_specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(s_fsdp.params)
+        if leaf.size >= 128
+    ]
+    assert any(s != P() for s in out_specs)

@@ -11,7 +11,11 @@ Run on the TPU: python tools/microbench_attention.py
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
