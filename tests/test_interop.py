@@ -129,3 +129,50 @@ def test_load_ignores_dead_crossattn_keys():
         sd2 = dict(sd)
         sd2["backbone.unexpected.weight"] = np.zeros((2, 2))
         load_torch_state_dict(model, v["params"], sd2, strict=True)
+
+
+def test_conv_transform_semantics_vs_torch():
+    """The OIHW<->HWIO transform must make torch.conv2d and flax Conv
+    compute the same function (real torch check, not just shape math)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from flax import linen as nn
+
+    from infodiffusion_tpu.interop import conv_from_flax, conv1x1_to_dense
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 6, 6, 3).astype(np.float32)  # NHWC
+    conv = nn.Conv(5, (3, 3), padding=((1, 1), (1, 1)))
+    v = conv.init(jr.PRNGKey(0), jnp.asarray(x))
+    flax_out = np.asarray(conv.apply(v, jnp.asarray(x)))
+
+    w_t = torch.from_numpy(conv_from_flax(np.asarray(v["params"]["kernel"])))
+    b_t = torch.from_numpy(np.asarray(v["params"]["bias"]))
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NCHW
+    torch_out = F.conv2d(x_t, w_t, b_t, padding=1).numpy()
+    np.testing.assert_allclose(
+        torch_out.transpose(0, 2, 3, 1), flax_out, atol=1e-5
+    )
+
+
+def test_conv1x1_dense_equivalence_vs_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    w_torch = rng.randn(5, 3, 1, 1).astype(np.float32)  # [O, I, 1, 1]
+    x = rng.randn(2, 4, 4, 3).astype(np.float32)
+    dense_k = conv1x1_to_dense_ref(w_torch)
+    flax_out = x @ dense_k
+    t_out = F.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w_torch)
+    ).numpy()
+    np.testing.assert_allclose(
+        t_out.transpose(0, 2, 3, 1), flax_out, atol=1e-5
+    )
+
+
+def conv1x1_to_dense_ref(w):
+    from infodiffusion_tpu.interop import conv1x1_to_dense
+
+    return conv1x1_to_dense(w)

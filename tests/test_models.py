@@ -186,3 +186,26 @@ def test_bf16_policy_params_stay_f32():
     assert jnp.isfinite(loss)
     out = m.apply(v, x, jnp.zeros((4,), jnp.int32))
     assert out.dtype == jnp.bfloat16
+
+
+def test_infodiff_priors_10mix_and_roll():
+    """Device-side prior draws in the loss (reference draws on host
+    numpy; models.py:652-658). roll requires a_dim=2, 10mix even a_dim."""
+    x = jnp.zeros((4, 16, 16, 1))
+    for prior, a_dim in [("10mix", 4), ("roll", 2)]:
+        m = _tiny_infodiff(a_dim=a_dim, prior=prior, mmd_weight=0.1)
+        v = m.init(RNGS, x, 0, method=InfoDiff.loss_fn)
+        loss, aux = m.apply(v, x, 0, method=InfoDiff.loss_fn,
+                            rngs=APPLY_RNGS)
+        assert jnp.isfinite(loss)
+        assert "mmd" in aux
+
+
+def test_vae_kld_capacity_branch():
+    x = jnp.zeros((2, 16, 16, 1))
+    m = VAE(a_dim=4, shape=(1, 16, 16), encoder_channels=32,
+            mmd_weight=0.0, kld_weight=0.01, use_C=True, C_max=5.0,
+            epochs=5)
+    v = m.init(RNGS, x, 0, method=VAE.loss_fn)
+    loss, aux = m.apply(v, x, 3, method=VAE.loss_fn, rngs=APPLY_RNGS)
+    assert jnp.isfinite(loss) and "kld" in aux
