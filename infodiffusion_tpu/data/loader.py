@@ -86,7 +86,10 @@ class DataLoader:
                 if stop.is_set():
                     return
                 idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(self._assemble(idx))
+                # device_put here so H2D transfer overlaps device compute
+                # (the reference pays .to(device) inside its hot loop,
+                # run.py:194)
+                q.put(self._device_put(self._assemble(idx)))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -96,6 +99,6 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
-                yield self._device_put(item)
+                yield item
         finally:
             stop.set()
