@@ -146,7 +146,9 @@ def test_conv_transform_semantics_vs_torch():
     v = conv.init(jr.PRNGKey(0), jnp.asarray(x))
     flax_out = np.asarray(conv.apply(v, jnp.asarray(x)))
 
-    w_t = torch.from_numpy(conv_from_flax(np.asarray(v["params"]["kernel"])))
+    w_t = torch.from_numpy(
+        conv_from_flax(np.asarray(v["params"]["kernel"])).copy()
+    )
     b_t = torch.from_numpy(np.asarray(v["params"]["bias"]))
     x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NCHW
     torch_out = F.conv2d(x_t, w_t, b_t, padding=1).numpy()
