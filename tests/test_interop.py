@@ -150,7 +150,7 @@ def test_conv_transform_semantics_vs_torch():
         conv_from_flax(np.asarray(v["params"]["kernel"])).copy()
     )
     b_t = torch.from_numpy(np.asarray(v["params"]["bias"]))
-    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NCHW
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())  # NCHW
     torch_out = F.conv2d(x_t, w_t, b_t, padding=1).numpy()
     np.testing.assert_allclose(
         torch_out.transpose(0, 2, 3, 1), flax_out, atol=1e-5
@@ -167,7 +167,8 @@ def test_conv1x1_dense_equivalence_vs_torch():
     dense_k = conv1x1_to_dense_ref(w_torch)
     flax_out = x @ dense_k
     t_out = F.conv2d(
-        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w_torch)
+        torch.from_numpy(x.transpose(0, 3, 1, 2).copy()),
+        torch.from_numpy(w_torch),
     ).numpy()
     np.testing.assert_allclose(
         t_out.transpose(0, 2, 3, 1), flax_out, atol=1e-5
