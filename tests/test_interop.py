@@ -149,7 +149,7 @@ def test_conv_transform_semantics_vs_torch():
     w_t = torch.from_numpy(
         conv_from_flax(np.asarray(v["params"]["kernel"])).copy()
     )
-    b_t = torch.from_numpy(np.asarray(v["params"]["bias"]))
+    b_t = torch.from_numpy(np.array(v["params"]["bias"]))
     x_t = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())  # NCHW
     torch_out = F.conv2d(x_t, w_t, b_t, padding=1).numpy()
     np.testing.assert_allclose(
