@@ -159,7 +159,9 @@ def _encode_dataset(cfg: Config, model, variables):
 
     all_a, all_attr = [], []
     for x, attr in loader:
-        all_a.append(np.asarray(enc(x)))
+        # f32 at the artifact boundary: under --bf16 the encoder emits
+        # bfloat16, which numpy would pickle as objects inside the npz
+        all_a.append(np.asarray(enc(x), dtype=np.float32))
         all_attr.append(
             np.asarray(attr) if attr is not None else
             np.full((len(all_a[-1]),), "No Attributes", dtype=object)

@@ -222,3 +222,22 @@ def test_vae_train_eval_disentangle(workdir):
     assert os.listdir("imgs/vae/mnist_4d_0.1mmd/eval")
     dispatch(parse_args(common + ["--mode", "disentangle"]))
     assert len(os.listdir("imgs/vae/mnist_4d_0.1mmd/disentangle-0")) == 4
+
+
+def test_save_latent_bf16_npz_is_float32(workdir):
+    """--bf16 must not leak bfloat16 into the latent npz (numpy would
+    pickle it as objects and train_latent_ddim would crash)."""
+    common = [
+        "--model", "diff", "--prior", "regular", "--a_dim", "4",
+        "--dataset", "mnist", "--epochs", "1", "--batch_size", "16",
+        "--diffusion_steps", "6", "--save_epochs", "1",
+        "--data_dir", "synthetic", "--ch_mult", "1,2", "--attn", "1",
+        "--mmd_weight", "0.1", "--bf16",
+    ]
+    dispatch(parse_args(common + ["--mode", "train"]))
+    dispatch(parse_args(common + ["--mode", "save_latent"]))
+    lat = np.load("diff_mnist_4d_0_1mmd_latent.npz")
+    assert lat["all_a"].dtype == np.float32
+    # and the latent DDIM trains from it
+    dispatch(parse_args(common + ["--mode", "train_latent_ddim"]))
+    assert os.path.isdir("models/mnist_4d_0.1mmd_latent/model-1")
