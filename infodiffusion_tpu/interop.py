@@ -77,10 +77,10 @@ def decoder_fca_from_flax(w: np.ndarray, b: np.ndarray, shape):
 # path translation
 # ---------------------------------------------------------------------------
 
+# EncoderResBlock's conv1/conv2 map to the same block1.2/block2.3 slots,
+# so one table covers both block kinds (reference: modules.py:206-366)
 _CONV_NAMES = {"conv1": "block1.2", "conv2": "block2.3", "conv3": "block3.3"}
 _NORM_NAMES = {"norm1": "block1.0", "norm2": "block2.0", "norm3": "block3.0"}
-_ENC_CONV = {"conv1": "block1.2", "conv2": "block2.3"}
-_ENC_NORM = {"norm1": "block1.0", "norm2": "block2.0"}
 
 
 def _skeleton_index(kind: str, pos: int, levels: int, nrb: int) -> str:
