@@ -98,7 +98,9 @@ class InfoDiffusionPipeline:
             self.variables, jnp.asarray(x), method=type(self.model).encode,
             sample=False,
         )
-        return np.asarray(mu if self.cfg.kld_weight != 0 else a)
+        # f32 at the API boundary (under --bf16 the encoder emits bf16)
+        return np.asarray(mu if self.cfg.kld_weight != 0 else a,
+                          dtype=np.float32)
 
     def invert(self, x, a=None) -> np.ndarray:
         """Deterministic reverse-DDIM encoding x0 -> xT."""
