@@ -243,11 +243,32 @@ class DiffusionProcess:
         self._jit_strided = jax.jit(
             self._strided_impl, static_argnames=("num_steps",)
         )
+        self._jit_sample_draw = jax.jit(
+            self._sample_draw_impl, static_argnames=("n", "num_steps")
+        )
 
     def _eps_fn(self, params):
         if self.is_conditional:
             return lambda x, t, a: self.model.apply(params, x, t, a)
         return lambda x, t, a: self.model.apply(params, x, t)
+
+    def _sample_draw_impl(self, params, key, a, n, num_steps):
+        # xT/a drawn INSIDE the jitted program: under a remote-dispatch
+        # TPU tunnel every eager op is a host round-trip (~100ms each),
+        # which dominated the latent sampler's 92ms trajectory.
+        k_x, k_a, k_s = jr.split(key, 3)
+        xT = jr.normal(k_x, (n,) + self.data_shape)
+        if self.is_conditional and a is None:
+            a = jr.normal(k_a, (n, self.cfg.a_dim))
+        if num_steps is not None:
+            return strided_ddim_loop(
+                self._eps_fn(params), self.sched, xT, k_s, a,
+                num_steps=num_steps,
+            )
+        return sample_loop(
+            self._eps_fn(params), self.sched, xT, k_s, a,
+            deterministic=self.cfg.deterministic,
+        )
 
     def _sample_impl(self, params, xT, a, key):
         return sample_loop(
@@ -264,14 +285,18 @@ class DiffusionProcess:
         )
 
     def sampling(self, key, sampling_number=16, xT=None, a=None, num_steps=None):
+        if num_steps is None:
+            num_steps = self.cfg.sampling_steps
+        if xT is None and self.mesh is None:
+            return self._jit_sample_draw(
+                self.params, key, a, n=sampling_number, num_steps=num_steps
+            )
         k_x, k_a, k_s = jr.split(key, 3)
         if xT is None:
             xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
         if self.is_conditional and a is None:
             a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
         params, (xT, a) = _shard_for_mesh(self.mesh, self.params, [xT, a])
-        if num_steps is None:
-            num_steps = self.cfg.sampling_steps
         if num_steps is not None:
             return self._jit_strided(params, xT, a, k_s, num_steps=num_steps)
         return self._jit_sample(params, xT, a, k_s)
@@ -297,6 +322,9 @@ class TwoPhaseDiffusionProcess:
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
         self._jit_sample = jax.jit(self._sample_impl)
         self._jit_reverse = jax.jit(self._reverse_impl)
+        self._jit_sample_draw = jax.jit(
+            self._sample_draw_impl, static_argnames=("n",)
+        )
 
     def _sample_impl(self, params1, params2, xT, a, key):
         cond = lambda x, t, a_: self.model1.apply(params1, x, t, a_)
@@ -307,11 +335,22 @@ class TwoPhaseDiffusionProcess:
             reference_quirk=self.cfg.two_phase_reference_quirk,
         )
 
+    def _sample_draw_impl(self, params1, params2, key, a, n):
+        k_x, k_a, k_s = jr.split(key, 3)
+        xT = jr.normal(k_x, (n,) + self.data_shape)
+        if a is None:
+            a = jr.normal(k_a, (n, self.cfg.a_dim))
+        return self._sample_impl(params1, params2, xT, a, k_s)
+
     def _reverse_impl(self, params1, x0, a):
         cond = lambda x, t, a_: self.model1.apply(params1, x, t, a_)
         return reverse_sample_loop(cond, self.sched, x0, a)
 
     def sampling(self, key, sampling_number=16, xT=None, a=None):
+        if xT is None and self.mesh is None:
+            return self._jit_sample_draw(
+                self.params1, self.params2, key, a, n=sampling_number
+            )
         k_x, k_a, k_s = jr.split(key, 3)
         if xT is None:
             xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
@@ -327,7 +366,12 @@ class TwoPhaseDiffusionProcess:
 
 class LatentDiffusionProcess:
     """Sampler over the a_dim latent space with the trained LatentUNet
-    (reference: sampling.py:207-292)."""
+    (reference: sampling.py:207-292).
+
+    On TPU the T=1000 latent trajectory is launch-overhead-bound under
+    XLA (tiny 10-layer MLP body), so the whole forward runs as ONE fused
+    Pallas kernel by default (4.3x measured: ops/pallas/latent_mlp.py);
+    INFODIFF_DISABLE_PALLAS=1 restores the plain XLA path."""
 
     def __init__(self, cfg, model, params, mesh=None):
         self.cfg = cfg
@@ -337,10 +381,35 @@ class LatentDiffusionProcess:
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
+        self._fused = False
+        if mesh is None:  # fused kernel is single-device; mesh path stays XLA
+            from infodiffusion_tpu.ops.pallas.latent_mlp import (
+                fused_latent_supported,
+                pack_latent_unet_params,
+                use_fused_latent,
+            )
+
+            backbone = params.get("params", {}).get("backbone")
+            if (
+                use_fused_latent()
+                and backbone is not None
+                and fused_latent_supported(backbone, cfg.a_dim)
+            ):
+                self.params = pack_latent_unet_params(backbone, cfg.a_dim)
+                self._fused = True
+                print("[latent sampler] fused Pallas kernel: on "
+                      "(INFODIFF_DISABLE_PALLAS=1 reverts to XLA)")
         self._jit_sample = jax.jit(self._sample_impl)
         self._jit_reverse = jax.jit(self._reverse_impl)
+        self._jit_sample_draw = jax.jit(
+            self._sample_draw_impl, static_argnames=("n",)
+        )
 
     def _eps_fn(self, params):
+        if self._fused:
+            from infodiffusion_tpu.ops.pallas.latent_mlp import latent_eps_fn
+
+            return latent_eps_fn(params, self.cfg.diffusion_steps)
         return lambda x, t, a: self.model.apply(params, x, t)
 
     def _sample_impl(self, params, xT, key):
@@ -352,7 +421,14 @@ class LatentDiffusionProcess:
     def _reverse_impl(self, params, x0):
         return reverse_sample_loop(self._eps_fn(params), self.sched, x0, None)
 
+    def _sample_draw_impl(self, params, key, n):
+        k_x, k_s = jr.split(key)
+        xT = jr.normal(k_x, (n, self.cfg.a_dim))
+        return self._sample_impl(params, xT, k_s)
+
     def sampling(self, key, sampling_number=16, xT=None):
+        if xT is None and self.mesh is None:
+            return self._jit_sample_draw(self.params, key, n=sampling_number)
         k_x, k_s = jr.split(key)
         if xT is None:
             xT = jr.normal(k_x, (sampling_number, self.cfg.a_dim))

@@ -11,6 +11,13 @@ off) a fused Pallas TPU kernel behind the same signature:
 - ``pairwise_rbf_mmd``: the InfoVAE MMD with the reference's /dim^2
   bandwidth quirk (reference: utils.py:74-90), formulated on the MXU.
 
+A fourth kernel lives in ``ops/pallas/latent_mlp.py``: the whole
+LatentUNet forward fused into one ``pallas_call`` (all 10 layers, weights
+double-buffered HBM->VMEM). Unlike the per-op kernels above (opt-in via
+``INFODIFF_ENABLE_PALLAS=1``; XLA's fusions win on the image UNet), it
+measured 4.3x over XLA on the launch-bound latent sampler and is ON by
+default on TPU inside ``LatentDiffusionProcess``.
+
 Set ``INFODIFF_DISABLE_PALLAS=1`` to force the XLA paths everywhere.
 """
 

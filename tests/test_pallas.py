@@ -70,3 +70,64 @@ def test_attention_pallas_interpret_matches_xla():
     )(q, k, v)
     want = _attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def _latent_model_and_params(d):
+    import jax
+    import jax.random as jr
+
+    from infodiffusion_tpu.models import Diff
+
+    model = Diff(T=100, shape=(1, d, d), is_latent=True)
+    x = jnp.zeros((4, d))
+    rngs = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+            "dropout": jr.PRNGKey(2)}
+    v = jax.jit(
+        lambda: model.init(rngs, x, jnp.zeros((4,), jnp.int32))
+    )()
+    return model, v
+
+
+@pytest.mark.parametrize("d", [32, 64])
+def test_latent_mlp_fused_interpret_matches_model(d):
+    import jax.random as jr
+
+    from infodiffusion_tpu.ops.pallas.latent_mlp import (
+        latent_eps_fn,
+        pack_latent_unet_params,
+    )
+
+    model, v = _latent_model_and_params(d)
+    packed = pack_latent_unet_params(v["params"]["backbone"], d)
+    eps = latent_eps_fn(packed, 100, interpret=True)
+
+    x = jr.normal(jr.PRNGKey(3), (8, d))
+    t = jnp.asarray([0, 1, 7, 13, 50, 99, 3, 42], jnp.int32)
+    got = eps(x, t)
+    want = model.apply(v, x, t)
+    # bf16 matmul weights inside the kernel vs f32 XLA: loose tolerance
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want, np.float32), atol=5e-2
+    )
+    # and tight agreement with f32 packing (isolates the algebra)
+    packed_f32 = pack_latent_unet_params(
+        v["params"]["backbone"], d, dtype=jnp.float32
+    )
+    got32 = latent_eps_fn(packed_f32, 100, interpret=True)(x, t)
+    np.testing.assert_allclose(
+        np.asarray(got32), np.asarray(want, np.float32), atol=2e-5
+    )
+
+
+def test_latent_mlp_fused_gate():
+    from infodiffusion_tpu.ops.pallas.latent_mlp import (
+        fused_latent_supported,
+        use_fused_latent,
+    )
+
+    _, v = _latent_model_and_params(32)
+    assert fused_latent_supported(v["params"]["backbone"], 32)
+    assert not fused_latent_supported(v["params"]["backbone"], 64)
+    assert not fused_latent_supported({}, 32)
+    # CPU test backend -> fused path must stay off in the sampler wrapper
+    assert not use_fused_latent()
