@@ -413,6 +413,11 @@ def _mode_eval_fid(cfg, model, variables, rng):
             process = TwoPhaseDiffusionProcess(
                 cfg, model, variables, model2, vars2, mesh=mesh
             )
+        # Keep one batch in flight: jax dispatch is async, so launching
+        # batch N+1 before np.asarray(batch N) lets the device sample
+        # while the host clips + writes PNGs (otherwise the chip idles
+        # for the whole host transfer + encode of every batch).
+        pending = None
         for sample_num in range(0, cfg.sampling_number, cfg.batch_size):
             rng, k1, k2 = jr.split(rng, 3)
             if cfg.is_latent:
@@ -424,8 +429,13 @@ def _mode_eval_fid(cfg, model, variables, rng):
                 )
             else:
                 batch = process.sampling(k2, sampling_number=cfg.batch_size)
-            if not _save_fid_batch(cfg, root, batch, sample_num):
+            if pending is not None and not _save_fid_batch(
+                cfg, root, *pending
+            ):
                 return
+            pending = (batch, sample_num)
+        if pending is not None:
+            _save_fid_batch(cfg, root, *pending)
         print("DONE")
     elif cfg.model == "vae":
         for sample_num in range(0, cfg.sampling_number, cfg.batch_size):

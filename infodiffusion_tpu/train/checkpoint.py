@@ -72,8 +72,19 @@ def restore_params(root: str, epoch: int, target_params,
     params, run.py:233; our checkpoints carry no dead weights so an
     exact-shape restore suffices). When the checkpoint carries EMA
     params (trained with --ema_decay) they are preferred."""
+    path = _path(root, epoch)
+    if not os.path.isdir(path):
+        have = latest_checkpoint_epoch(root)
+        hint = (
+            f"latest saved epoch there is {have} — pass -e/--epochs {have}"
+            if have is not None
+            else f"no checkpoints under {root} — train first (--mode train)"
+        )
+        raise FileNotFoundError(
+            f"Checkpoint {path} not found: eval modes load model-{{--epochs}}; {hint}."
+        )
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(_path(root, epoch))
+    restored = ckptr.restore(path)
     params = restored["params"]
     if prefer_ema and restored.get("ema_params") is not None:
         params = restored["ema_params"]

@@ -243,3 +243,18 @@ def test_build_model_bf16_policy():
     assert m.dtype == jnp.bfloat16
     cfg = cfg.replace(bf16=False)
     assert build_model(cfg).dtype == jnp.float32
+
+
+def test_restore_params_missing_checkpoint_message(tmp_path):
+    """Eval modes load model-{--epochs}; a missing epoch should name the
+    flag and the nearest usable epoch (found via real-TPU CLI run)."""
+    import pytest
+
+    from infodiffusion_tpu.train.checkpoint import restore_params
+
+    root = str(tmp_path / "exp")
+    with pytest.raises(FileNotFoundError, match="train first"):
+        restore_params(root, 20, {})
+    (tmp_path / "exp" / "model-3").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match=r"-e/--epochs 3"):
+        restore_params(root, 20, {})
