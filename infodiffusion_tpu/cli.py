@@ -101,6 +101,10 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--fsdp", action="store_true",
                    help="shard params+optimizer state over the data axis "
                         "(ZeRO-style memory scaling)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size (the mesh's 'model' axis; "
+                        "weights shard on output features, composes with "
+                        "--fsdp)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="EMA decay for eval weights (0 = off)")
     p.add_argument("--ch_mult", type=str, default=None,

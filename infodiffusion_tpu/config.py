@@ -104,6 +104,9 @@ class Config:
     # FSDP/ZeRO: shard params + optimizer state over the data axis
     # (memory scaling for larger derivatives; math identical to DP).
     fsdp: bool = False
+    # Tensor parallelism: size of the mesh's 'model' axis (1 = off).
+    # Weights shard on their output-feature dim; composes with --fsdp.
+    tp: int = 1
     # EMA of parameters (0 = off, like the reference; e.g. 0.9999).
     # When on, checkpoints carry ema_params and eval prefers them.
     ema_decay: float = 0.0

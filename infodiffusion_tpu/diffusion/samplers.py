@@ -200,10 +200,11 @@ def _shard_for_mesh(mesh, params, batch_arrays):
     axis. Eval-time batch parallelism the reference (single-GPU) lacks."""
     if mesh is None:
         return params, batch_arrays
-    import numpy as _np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n = int(_np.prod(mesh.devices.shape))
+    # batches shard over the 'data' axis only (the 'model' axis, when
+    # >1, carries tensor-parallel weight shards — not batch shards)
+    n = int(mesh.shape.get("data", 1))
     sizes = [a.shape[0] for a in batch_arrays if a is not None]
     if not sizes or any(s % n for s in sizes):
         return params, batch_arrays

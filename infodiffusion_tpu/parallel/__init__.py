@@ -6,7 +6,12 @@ from infodiffusion_tpu.parallel.mesh import (
 )
 from infodiffusion_tpu.parallel.fsdp import (
     fsdp_param_sharding,
+    place_state,
     shard_state_fsdp,
+)
+from infodiffusion_tpu.parallel.tp import (
+    shard_state_tp,
+    tp_param_sharding,
 )
 
 __all__ = [
@@ -15,5 +20,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "fsdp_param_sharding",
+    "place_state",
     "shard_state_fsdp",
+    "tp_param_sharding",
+    "shard_state_tp",
 ]

@@ -41,15 +41,15 @@ def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2 ** 14):
     return jax.tree.map(spec, params)
 
 
-def shard_state_fsdp(mesh: Mesh, state, min_size: int = 2 ** 14):
-    """Place a TrainState with params, param-shaped optimizer subtrees
-    (Adam mu/nu) and EMA sharded FSDP-style; everything else replicated.
+def place_state(mesh: Mesh, state, psharding):
+    """Place a TrainState per ``psharding`` (a NamedSharding pytree
+    mirroring params): params, param-shaped optimizer subtrees (Adam
+    mu/nu) and EMA get the param shardings; everything else replicated.
 
     Param-shaped subtrees inside the optax state are recognized by tree
     structure, so this works for any optimizer chain whose stats mirror
     the param tree."""
     repl = NamedSharding(mesh, P())
-    psharding = fsdp_param_sharding(mesh, state.params, min_size)
     pdef = jax.tree_util.tree_structure(state.params)
 
     def place_param_tree(tree):
@@ -79,4 +79,12 @@ def shard_state_fsdp(mesh: Mesh, state, min_size: int = 2 ** 14):
         ema_params=ema,
         step=jax.device_put(state.step, repl),
         rng=jax.device_put(state.rng, repl),
+    )
+
+
+def shard_state_fsdp(mesh: Mesh, state, min_size: int = 2 ** 14):
+    """FSDP/ZeRO placement: large params (+ mirrored optimizer stats and
+    EMA) sharded over the 'data' axis."""
+    return place_state(
+        mesh, state, fsdp_param_sharding(mesh, state.params, min_size)
     )

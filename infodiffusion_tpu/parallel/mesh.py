@@ -33,7 +33,11 @@ def make_mesh(
     """(data, model) mesh over the first ``n_devices`` local devices."""
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
-    assert n % model_parallel == 0
+    if model_parallel < 1 or n % model_parallel:
+        raise ValueError(
+            f"tensor-parallel size {model_parallel} (--tp) must divide "
+            f"the mesh device count {n}"
+        )
     arr = np.array(devices[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -195,7 +195,7 @@ def _nth_batch(loader, n: int):
 def train(cfg: Config, latent: bool = False):
     rng = seed_everything(cfg.r_seed)
     cfg = cfg.with_dataset_config()
-    mesh = make_mesh(cfg.mesh_devices) if jax.device_count() > 1 else None
+    mesh = make_mesh(cfg.mesh_devices, model_parallel=cfg.tp) if jax.device_count() > 1 else None
     print(dict(vars(cfg)))
 
     if latent:
@@ -215,7 +215,11 @@ def train(cfg: Config, latent: bool = False):
     writer = MetricsWriter(log_dir, use_tb=cfg.tb_logger)
     tx, state, steps_per_epoch = _init_state(cfg, model, loader, rng, latent)
     if mesh is not None:
-        if cfg.fsdp:
+        if cfg.tp > 1:
+            from infodiffusion_tpu.parallel import shard_state_tp
+
+            state = shard_state_tp(mesh, state, fsdp=cfg.fsdp)
+        elif cfg.fsdp:
             from infodiffusion_tpu.parallel import shard_state_fsdp
 
             state = shard_state_fsdp(mesh, state)
@@ -323,7 +327,7 @@ def evaluate(cfg: Config):
     cfg, model, variables = _build_eval(cfg)
     mode = cfg.mode
 
-    mesh = make_mesh(cfg.mesh_devices) if jax.device_count() > 1 else None
+    mesh = make_mesh(cfg.mesh_devices, model_parallel=cfg.tp) if jax.device_count() > 1 else None
     process = None
     if cfg.model in ("diff", "vanilla"):
         process = DiffusionProcess(cfg, model, variables, mesh=mesh)
@@ -403,7 +407,7 @@ def _mode_eval_fid(cfg, model, variables, rng):
     print(f"Saving images to {root}")
     if cfg.model == "diff":
         model2, vars2 = _second_model(cfg)
-        mesh = make_mesh(cfg.mesh_devices) if jax.device_count() > 1 else None
+        mesh = make_mesh(cfg.mesh_devices, model_parallel=cfg.tp) if jax.device_count() > 1 else None
         if cfg.is_latent:
             process = DiffusionProcess(cfg, model, variables, mesh=mesh)
             process_latent = LatentDiffusionProcess(

@@ -241,3 +241,15 @@ def test_save_latent_bf16_npz_is_float32(workdir):
     # and the latent DDIM trains from it
     dispatch(parse_args(common + ["--mode", "train_latent_ddim"]))
     assert os.path.isdir("models/mnist_4d_0.1mmd_latent/model-1")
+
+
+@pytest.mark.slow
+def test_train_with_tensor_parallel_flag(workdir):
+    """--tp 2 on the 8-device mesh: (data=4, model=2), conv weights
+    sharded on output features; training completes and checkpoints
+    (new capability — the reference is single-device, SURVEY.md 2.3)."""
+    cfg = parse_args(_args(["--ch_mult", "1,2", "--attn", "1",
+                            "--tp", "2"]))
+    assert cfg.tp == 2
+    dispatch(cfg)
+    assert os.path.isdir("models/diff/mnist_8d_0.1mmd/model-1")

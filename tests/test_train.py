@@ -258,3 +258,78 @@ def test_restore_params_missing_checkpoint_message(tmp_path):
     (tmp_path / "exp" / "model-3").mkdir(parents=True)
     with pytest.raises(FileNotFoundError, match=r"-e/--epochs 3"):
         restore_params(root, 20, {})
+
+
+def test_tp_sharded_step_matches_replicated(setup):
+    """Tensor-parallel placement ('model'-axis weight shards, GSPMD
+    collectives): same step results as the replicated layout, with
+    output-feature dims genuinely distributed (new capability; the
+    reference has no TP of any kind — SURVEY.md 2.3)."""
+    from infodiffusion_tpu.parallel import shard_state_tp
+    from infodiffusion_tpu.parallel.mesh import MODEL_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    _model, x, _tx, state, step = setup
+    mesh = make_mesh(8, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    s_repl, m_repl = step(replicate(mesh, state), shard_batch(mesh, x), 0)
+
+    state_t = shard_state_tp(mesh, state, min_size=128)
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(state_t.params)
+        if leaf.size >= 128
+    ]
+    assert any(s != P() and MODEL_AXIS in [a for a in s if a] for s in specs)
+    s_tp, m_tp = step(state_t, shard_batch(mesh, x), 0)
+    np.testing.assert_allclose(
+        float(m_tp["loss"]), float(m_repl["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        s_repl.params, s_tp.params,
+    )
+    # layout survives the update
+    out_specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(s_tp.params)
+        if leaf.size >= 128
+    ]
+    assert any(MODEL_AXIS in [a for a in s if a] for s in out_specs)
+
+
+def test_tp_plus_fsdp_2d_sharding(setup):
+    """tp + fsdp composed: 'model' on output features AND 'data' on the
+    largest remaining dim, still step-equivalent to replicated."""
+    from infodiffusion_tpu.parallel import shard_state_tp
+
+    _model, x, _tx, state, step = setup
+    mesh = make_mesh(8, model_parallel=2)
+    s_repl, m_repl = step(replicate(mesh, state), shard_batch(mesh, x), 0)
+    state_2d = shard_state_tp(
+        mesh, state, min_size=128, fsdp=True, fsdp_min_size=128
+    )
+    both = [
+        set(a for a in leaf.sharding.spec if a)
+        for leaf in jax.tree.leaves(state_2d.params)
+    ]
+    assert {"data", "model"} in both  # at least one fully-2D weight
+    s_2d, m_2d = step(state_2d, shard_batch(mesh, x), 0)
+    np.testing.assert_allclose(
+        float(m_2d["loss"]), float(m_repl["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        s_repl.params, s_2d.params,
+    )
+
+
+def test_make_mesh_rejects_nondividing_tp():
+    import pytest
+
+    with pytest.raises(ValueError, match="--tp"):
+        make_mesh(8, model_parallel=3)
