@@ -78,9 +78,59 @@ def train_main():
     )
 
 
+def latent_main():
+    """Secondary metric: latent-DDIM sampling throughput (T=1000 full
+    grid, flagship a_dim=256) through LatentDiffusionProcess. XLA path
+    by default; INFODIFF_ENABLE_PALLAS=1 swaps in the fused whole-forward
+    kernel (ops/pallas/latent_mlp.py — measured ~10% behind XLA)."""
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import LatentDiffusionProcess
+    from infodiffusion_tpu.models import Diff
+
+    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "256"))
+    reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))
+    d = 256
+    cfg = Config(
+        model="diff", mode="eval_fid", prior="regular", a_dim=d,
+        dataset="celeba", deterministic=True, is_latent=True,
+    )
+    model = Diff(T=1000, shape=(1, d, d), is_latent=True,
+                 dtype=jnp.bfloat16)
+    rngs = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+            "dropout": jr.PRNGKey(2)}
+    v = jax.jit(
+        lambda: model.init(rngs, jnp.zeros((batch, d)),
+                           jnp.zeros((batch,), jnp.int32))
+    )()
+    p = LatentDiffusionProcess(cfg, model, v)
+    key = jr.PRNGKey(0)
+    out = p.sampling(key, sampling_number=batch)
+    jax.block_until_ready(out)
+    times = []
+    for i in range(reps):
+        k = jr.fold_in(key, i)
+        t0 = time.perf_counter()
+        out = p.sampling(k, sampling_number=batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    lps = batch / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "latent_ddim1000_latents_per_sec",
+                "value": round(lps, 1),
+                "unit": "latents/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     if os.environ.get("INFODIFF_BENCH_MODE") == "train":
         return train_main()
+    if os.environ.get("INFODIFF_BENCH_MODE") == "latent":
+        return latent_main()
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))

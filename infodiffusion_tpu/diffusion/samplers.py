@@ -256,7 +256,7 @@ class DiffusionProcess:
     def _sample_draw_impl(self, params, key, a, n, num_steps):
         # xT/a drawn INSIDE the jitted program: under a remote-dispatch
         # TPU tunnel every eager op is a host round-trip (~100ms each),
-        # which dominated the latent sampler's 92ms trajectory.
+        # which dominated the latent sampler's ~96ms trajectory.
         k_x, k_a, k_s = jr.split(key, 3)
         xT = jr.normal(k_x, (n,) + self.data_shape)
         if self.is_conditional and a is None:
@@ -369,10 +369,10 @@ class LatentDiffusionProcess:
     """Sampler over the a_dim latent space with the trained LatentUNet
     (reference: sampling.py:207-292).
 
-    On TPU the T=1000 latent trajectory is launch-overhead-bound under
-    XLA (tiny 10-layer MLP body), so the whole forward runs as ONE fused
-    Pallas kernel by default (4.3x measured: ops/pallas/latent_mlp.py);
-    INFODIFF_DISABLE_PALLAS=1 restores the plain XLA path."""
+    INFODIFF_ENABLE_PALLAS=1 swaps the per-step LatentUNet forward for
+    one fused whole-forward Pallas kernel (ops/pallas/latent_mlp.py).
+    XLA is the measured-faster default — see use_fused_latent() for the
+    numbers and the closure-constant measurement trap."""
 
     def __init__(self, cfg, model, params, mesh=None):
         self.cfg = cfg
@@ -399,7 +399,7 @@ class LatentDiffusionProcess:
                 self.params = pack_latent_unet_params(backbone, cfg.a_dim)
                 self._fused = True
                 print("[latent sampler] fused Pallas kernel: on "
-                      "(INFODIFF_DISABLE_PALLAS=1 reverts to XLA)")
+                      "(unset INFODIFF_ENABLE_PALLAS for the XLA path)")
         self._jit_sample = jax.jit(self._sample_impl)
         self._jit_reverse = jax.jit(self._reverse_impl)
         self._jit_sample_draw = jax.jit(

@@ -49,12 +49,19 @@ def fused_latent_supported(backbone_params: Dict, a_dim: int) -> bool:
 
 
 def use_fused_latent() -> bool:
-    """Unlike the per-op kernels (opt-in: they lose to XLA's fusions on
-    the image UNet), this whole-forward kernel measured a 4.3x win on the
-    latent sampler on v5e (91.6 us/step vs 395.3 us/step XLA, batch 256,
-    STATUS.md), so it is ON by default on TPU. INFODIFF_DISABLE_PALLAS=1
-    forces it off."""
+    """Opt-in (INFODIFF_ENABLE_PALLAS=1), like the other Pallas kernels.
+
+    Measurement history (v5e, T=1000): an early benchmark showed this
+    kernel 4.3x faster than XLA — but that baseline captured the params
+    as jit CLOSURE CONSTANTS, which alone makes the XLA latent MLP ~4x
+    slower. Against the framework's real path (params passed as jit
+    arguments) XLA wins ~10% at every batch (b64 76.0 vs 84.5 ms, b256
+    96.0 vs 106.7, b512 145.7 vs 155.7 per 1000 steps) and the kernel
+    VMEM-OOMs at b1024 (no batch tiling). Kept as a parity-tested
+    alternative path."""
     if os.environ.get("INFODIFF_DISABLE_PALLAS"):
+        return False
+    if not os.environ.get("INFODIFF_ENABLE_PALLAS"):
         return False
     return jax.default_backend() == "tpu"
 
