@@ -218,3 +218,33 @@ def test_process_sampling_sharded_matches_unsharded():
     out2 = p_mesh.sampling(key, sampling_number=16)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=1e-5)
+
+
+def test_mesh_sampling_with_model_axis_matches_single_device():
+    """Eval sampling on a 2-D (data=4, model=2) mesh: batches shard over
+    'data' only (the 'model' axis carries TP weight shards) and results
+    equal the single-device trajectory."""
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import LatentDiffusionProcess
+    from infodiffusion_tpu.models import Diff
+    from infodiffusion_tpu.parallel import make_mesh
+
+    cfg = Config(model="vanilla", dataset="mnist", diffusion_steps=6,
+                 deterministic=True, a_dim=8)
+    model = Diff(T=6, shape=(1, 8, 8), is_latent=True)
+    xl = jnp.zeros((8, 8))
+    v = model.init({"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+                    "dropout": jr.PRNGKey(2)}, xl, 0, method=Diff.loss_fn)
+
+    p_single = LatentDiffusionProcess(cfg, model, v)
+    p_mesh = LatentDiffusionProcess(cfg, model, v,
+                                    mesh=make_mesh(8, model_parallel=2))
+    key = jr.PRNGKey(3)
+    # 12 divides the 4-wide data axis but not the 8-device count: the
+    # old total-device divisibility check would have skipped sharding
+    out1 = p_single.sampling(key, sampling_number=12)
+    out2 = p_mesh.sampling(key, sampling_number=12)
+    # the trajectory genuinely ran distributed over the whole mesh
+    assert len(out2.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5)
