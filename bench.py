@@ -59,11 +59,13 @@ def train_main():
     state = create_train_state(model, jr.PRNGKey(0), x, tx)
     step = make_train_step(model, tx, donate=True)
     state, m = step(state, x, 0)
-    jax.block_until_ready(m["loss"])  # compile + warmup
+    float(m["loss"])  # compile + warmup (host fetch = reliable sync)
     t0 = time.perf_counter()
     for _ in range(reps):
         state, m = step(state, x, 0)
-    jax.block_until_ready(m["loss"])
+    # sync via value fetch: block_until_ready can return early through
+    # the remote-dispatch tunnel (see CLAUDE.md timing trap)
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / reps
     ips = batch / dt
     print(
@@ -105,13 +107,13 @@ def latent_main():
     p = LatentDiffusionProcess(cfg, model, v)
     key = jr.PRNGKey(0)
     out = p.sampling(key, sampling_number=batch)
-    jax.block_until_ready(out)
+    float(jnp.mean(out))
     times = []
     for i in range(reps):
         k = jr.fold_in(key, i)
         t0 = time.perf_counter()
         out = p.sampling(k, sampling_number=batch)
-        jax.block_until_ready(out)
+        float(jnp.mean(out))  # value fetch = reliable sync (see main())
         times.append(time.perf_counter() - t0)
     lps = batch / min(times)
     print(
@@ -171,14 +173,16 @@ def main():
 
     # compile + warmup
     out = sample(variables, xT, a, key)
-    jax.block_until_ready(out)
+    float(jnp.mean(out))
 
     times = []
     for i in range(reps):
         k = jr.fold_in(key, i)
         t_start = time.perf_counter()
         out = sample(variables, xT, a, k)
-        jax.block_until_ready(out)
+        # value fetch = reliable completion barrier over the tunnel
+        # (~10ms, <1% of a rep); block_until_ready alone can no-op
+        float(jnp.mean(out))
         times.append(time.perf_counter() - t_start)
 
     best = min(times)
