@@ -262,14 +262,8 @@ class DiffusionProcess:
         if self.is_conditional and a is None:
             a = jr.normal(k_a, (n, self.cfg.a_dim))
         if num_steps is not None:
-            return strided_ddim_loop(
-                self._eps_fn(params), self.sched, xT, k_s, a,
-                num_steps=num_steps,
-            )
-        return sample_loop(
-            self._eps_fn(params), self.sched, xT, k_s, a,
-            deterministic=self.cfg.deterministic,
-        )
+            return self._strided_impl(params, xT, a, k_s, num_steps)
+        return self._sample_impl(params, xT, a, k_s)
 
     def _sample_impl(self, params, xT, a, key):
         return sample_loop(
@@ -396,10 +390,17 @@ class LatentDiffusionProcess:
                 and backbone is not None
                 and fused_latent_supported(backbone, cfg.a_dim)
             ):
-                self.params = pack_latent_unet_params(backbone, cfg.a_dim)
+                import sys
+
+                # matmul-weight dtype follows the model's activation
+                # policy (CLAUDE.md: bf16 only via the module dtype)
+                self.params = pack_latent_unet_params(
+                    backbone, cfg.a_dim, dtype=model.dtype
+                )
                 self._fused = True
                 print("[latent sampler] fused Pallas kernel: on "
-                      "(unset INFODIFF_ENABLE_PALLAS for the XLA path)")
+                      "(unset INFODIFF_ENABLE_PALLAS for the XLA path)",
+                      file=sys.stderr)
         self._jit_sample = jax.jit(self._sample_impl)
         self._jit_reverse = jax.jit(self._reverse_impl)
         self._jit_sample_draw = jax.jit(
@@ -410,7 +411,7 @@ class LatentDiffusionProcess:
         if self._fused:
             from infodiffusion_tpu.ops.pallas.latent_mlp import latent_eps_fn
 
-            return latent_eps_fn(params, self.cfg.diffusion_steps)
+            return latent_eps_fn(params)
         return lambda x, t, a: self.model.apply(params, x, t)
 
     def _sample_impl(self, params, xT, key):

@@ -197,7 +197,7 @@ def latent_unet_forward_pallas(packed, x: jnp.ndarray,
     return out
 
 
-def latent_eps_fn(packed, T: int, num_time_emb_channels: int = 64,
+def latent_eps_fn(packed, num_time_emb_channels: int = 64,
                   interpret: bool = False):
     """eps_fn(x, t, a) closure for the samplers, using the fused kernel.
     Computes the (tiny) time-embedding MLP in XLA, then one pallas call."""

@@ -51,7 +51,9 @@ class InfoDiffusionPipeline:
             cfg, model, jnp.zeros((1, H, W, C)), epoch=epoch
         )
         if mesh == "auto":
-            mesh = make_mesh() if jax.device_count() > 1 else None
+            from infodiffusion_tpu.runner import _mesh
+
+            mesh = _mesh(cfg)
         return cls(cfg, model, variables, mesh=mesh, seed=seed)
 
     @classmethod

@@ -100,6 +100,13 @@ def save_images(cfg: Config, sample, sample_num: int = 0, epoch: int = 0):
 # ---------------------------------------------------------------------------
 
 
+def _mesh(cfg: Config):
+    """The (data, model) mesh for this run; None on a single device."""
+    if jax.device_count() <= 1:
+        return None
+    return make_mesh(cfg.mesh_devices, model_parallel=cfg.tp)
+
+
 def _loader(cfg: Config, mesh=None, with_attrs=False, shuffle=None):
     ds = get_dataset(cfg)
     flip, shuf = dataset_flags(cfg.dataset)
@@ -195,7 +202,7 @@ def _nth_batch(loader, n: int):
 def train(cfg: Config, latent: bool = False):
     rng = seed_everything(cfg.r_seed)
     cfg = cfg.with_dataset_config()
-    mesh = make_mesh(cfg.mesh_devices, model_parallel=cfg.tp) if jax.device_count() > 1 else None
+    mesh = _mesh(cfg)
     print(dict(vars(cfg)))
 
     if latent:
@@ -327,7 +334,7 @@ def evaluate(cfg: Config):
     cfg, model, variables = _build_eval(cfg)
     mode = cfg.mode
 
-    mesh = make_mesh(cfg.mesh_devices, model_parallel=cfg.tp) if jax.device_count() > 1 else None
+    mesh = _mesh(cfg)
     process = None
     if cfg.model in ("diff", "vanilla"):
         process = DiffusionProcess(cfg, model, variables, mesh=mesh)
@@ -407,7 +414,7 @@ def _mode_eval_fid(cfg, model, variables, rng):
     print(f"Saving images to {root}")
     if cfg.model == "diff":
         model2, vars2 = _second_model(cfg)
-        mesh = make_mesh(cfg.mesh_devices, model_parallel=cfg.tp) if jax.device_count() > 1 else None
+        mesh = _mesh(cfg)
         if cfg.is_latent:
             process = DiffusionProcess(cfg, model, variables, mesh=mesh)
             process_latent = LatentDiffusionProcess(

@@ -99,7 +99,7 @@ def test_latent_mlp_fused_interpret_matches_model(d):
 
     model, v = _latent_model_and_params(d)
     packed = pack_latent_unet_params(v["params"]["backbone"], d)
-    eps = latent_eps_fn(packed, 100, interpret=True)
+    eps = latent_eps_fn(packed, interpret=True)
 
     x = jr.normal(jr.PRNGKey(3), (8, d))
     t = jnp.asarray([0, 1, 7, 13, 50, 99, 3, 42], jnp.int32)
@@ -113,7 +113,7 @@ def test_latent_mlp_fused_interpret_matches_model(d):
     packed_f32 = pack_latent_unet_params(
         v["params"]["backbone"], d, dtype=jnp.float32
     )
-    got32 = latent_eps_fn(packed_f32, 100, interpret=True)(x, t)
+    got32 = latent_eps_fn(packed_f32, interpret=True)(x, t)
     np.testing.assert_allclose(
         np.asarray(got32), np.asarray(want, np.float32), atol=2e-5
     )
