@@ -46,9 +46,14 @@ def _gn_stats(x: jnp.ndarray, num_groups: int) -> Tuple[jnp.ndarray, jnp.ndarray
     *lead, C = x.shape
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
     xf = x.astype(jnp.float32).reshape(x.shape[0], -1, num_groups, C // num_groups)
-    # reduce over all but (batch, group)
+    # one-pass stats (E[x^2] - mean^2): both reductions land in ONE XLA
+    # fusion reading x once, vs two passes for the (x - mean)^2 form —
+    # GN is bandwidth-bound so this halves its stats traffic. f32
+    # accumulation keeps the cancellation benign at these magnitudes
+    # (torch GroupNorm computes Welford/one-pass variance too).
     mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     rstd = jax.lax.rsqrt(var + _EPS)
     return mean, rstd
 
