@@ -339,6 +339,22 @@ def evaluate(cfg: Config):
     if cfg.model in ("diff", "vanilla"):
         process = DiffusionProcess(cfg, model, variables, mesh=mesh)
 
+    # profiling hook for eval modes (train has the same; SURVEY.md §5:
+    # the reference has no tracing at all): INFODIFF_PROFILE=<dir>
+    # captures an XLA trace of the whole mode, viewable in xprof.
+    profile_dir = os.environ.get("INFODIFF_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    try:
+        _run_eval_mode(cfg, model, variables, process, mesh, rng)
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"Saved profiler trace to {profile_dir}")
+
+
+def _run_eval_mode(cfg, model, variables, process, mesh, rng):
+    mode = cfg.mode
     if mode == "eval":
         _mode_eval(cfg, model, variables, process, rng)
     elif mode == "eval_fid":
