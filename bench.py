@@ -16,8 +16,9 @@ so the trend is comparable.
 
 Env knobs: INFODIFF_BENCH_BATCH (default 128), INFODIFF_BENCH_STEPS (100),
 INFODIFF_BENCH_REPS (3), INFODIFF_BENCH_BF16 (default 1),
-INFODIFF_BENCH_MODE=train for the secondary metric (train imgs/sec/chip
-on the same flagship model; not the headline line the driver records).
+INFODIFF_BENCH_MODE selects secondary metrics (not the headline line the
+driver records): train (train imgs/sec/chip), latent (latent-DDIM
+latents/sec), encode (Encoder imgs/sec — the save_latent workhorse).
 """
 
 import json
@@ -128,11 +129,64 @@ def latent_main():
     )
 
 
+def encode_main():
+    """Secondary metric: deterministic encode throughput (the
+    save_latent workhorse: full-UNet Encoder forward, reference:
+    run.py:415-443)."""
+    from infodiffusion_tpu.models import InfoDiff
+
+    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "256"))
+    reps = int(os.environ.get("INFODIFF_BENCH_REPS", "10"))
+    model = InfoDiff(
+        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        encoder_channels=64, mmd_weight=0.1, epochs=50,
+        dtype=jnp.bfloat16,
+    )
+    x0 = jnp.zeros((1, 64, 64, 3))
+    rngs = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+            "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)}
+    # init through loss_fn: the __call__ path alone does not
+    # materialize the encoder subtree (cf. runner._load_model_params)
+    variables = jax.jit(
+        lambda: model.init(rngs, x0, 0, method=type(model).loss_fn)
+    )()
+
+    @jax.jit
+    def enc(variables, x):
+        a, _aq, mu, _lv = model.apply(
+            variables, x, method=type(model).encode, sample=False
+        )
+        return jnp.float32(jnp.mean(a) + jnp.mean(mu))
+
+    key = jr.PRNGKey(0)
+    x = jr.normal(key, (batch, 64, 64, 3))
+    float(enc(variables, x))
+    times = []
+    for i in range(reps):
+        xi = x + jnp.float32(i) * 1e-6
+        t0 = time.perf_counter()
+        v = float(enc(variables, xi))
+        times.append(time.perf_counter() - t0)
+    ips = batch / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "encode_imgs_per_sec",
+                "value": round(ips, 1),
+                "unit": "imgs/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     if os.environ.get("INFODIFF_BENCH_MODE") == "train":
         return train_main()
     if os.environ.get("INFODIFF_BENCH_MODE") == "latent":
         return latent_main()
+    if os.environ.get("INFODIFF_BENCH_MODE") == "encode":
+        return encode_main()
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))
