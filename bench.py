@@ -84,8 +84,8 @@ def train_main():
 def latent_main():
     """Secondary metric: latent-DDIM sampling throughput (T=1000 full
     grid, flagship a_dim=256) through LatentDiffusionProcess. XLA path
-    by default; INFODIFF_ENABLE_PALLAS=1 swaps in the fused whole-forward
-    kernel (ops/pallas/latent_mlp.py — measured ~10% behind XLA)."""
+    by default; INFODIFF_ENABLE_FUSED_LATENT=1 swaps in the fused
+    whole-forward kernel (ops/pallas/latent_mlp.py — ~10% behind XLA)."""
     from infodiffusion_tpu.config import Config
     from infodiffusion_tpu.diffusion.samplers import LatentDiffusionProcess
     from infodiffusion_tpu.models import Diff

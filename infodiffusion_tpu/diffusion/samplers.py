@@ -363,8 +363,8 @@ class LatentDiffusionProcess:
     """Sampler over the a_dim latent space with the trained LatentUNet
     (reference: sampling.py:207-292).
 
-    INFODIFF_ENABLE_PALLAS=1 swaps the per-step LatentUNet forward for
-    one fused whole-forward Pallas kernel (ops/pallas/latent_mlp.py).
+    INFODIFF_ENABLE_FUSED_LATENT=1 swaps the per-step LatentUNet forward
+    for one fused whole-forward Pallas kernel (ops/pallas/latent_mlp.py).
     XLA is the measured-faster default — see use_fused_latent() for the
     numbers and the closure-constant measurement trap."""
 
@@ -399,8 +399,8 @@ class LatentDiffusionProcess:
                 )
                 self._fused = True
                 print("[latent sampler] fused Pallas kernel: on "
-                      "(unset INFODIFF_ENABLE_PALLAS for the XLA path)",
-                      file=sys.stderr)
+                      "(unset INFODIFF_ENABLE_FUSED_LATENT for the XLA "
+                      "path)", file=sys.stderr)
         self._jit_sample = jax.jit(self._sample_impl)
         self._jit_reverse = jax.jit(self._reverse_impl)
         self._jit_sample_draw = jax.jit(

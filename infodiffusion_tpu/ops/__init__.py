@@ -13,10 +13,11 @@ off) a fused Pallas TPU kernel behind the same signature:
 
 A fourth kernel lives in ``ops/pallas/latent_mlp.py``: the whole
 LatentUNet forward fused into one ``pallas_call`` (all 10 layers, weights
-double-buffered HBM->VMEM), used by ``LatentDiffusionProcess``. Like the
-per-op kernels it is opt-in via ``INFODIFF_ENABLE_PALLAS=1`` — XLA wins
-~10% on the latent trajectory when params are passed as jit arguments
-(see ``use_fused_latent`` for the measurement-trap story).
+double-buffered HBM->VMEM, batch tiled over a grid), used by
+``LatentDiffusionProcess``. It has its OWN opt-in
+(``INFODIFF_ENABLE_FUSED_LATENT=1``) because XLA wins ~10% on the latent
+trajectory when params are passed as jit arguments (see
+``use_fused_latent`` for the measurement-trap story).
 
 Set ``INFODIFF_DISABLE_PALLAS=1`` to force the XLA paths everywhere.
 """

@@ -22,13 +22,10 @@ def _use_pallas() -> bool:
     # Measured on v5e (round 1): XLA's own fusions beat the first-cut
     # per-batch-element Pallas kernels on the flagship bench (68.8 vs
     # 51.3 DDIM-100 samples/s), so the XLA path is the default and the
-    # kernels are opt-in until they win. Set INFODIFF_ENABLE_PALLAS=1
-    # to use them; INFODIFF_DISABLE_PALLAS=1 forces them off.
-    if os.environ.get("INFODIFF_DISABLE_PALLAS"):
-        return False
-    if not os.environ.get("INFODIFF_ENABLE_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu"
+    # kernels are opt-in until they win (shared gate: ops/gating.py).
+    from infodiffusion_tpu.ops.gating import pallas_enabled
+
+    return pallas_enabled()
 
 
 def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,30 @@
+"""Shared opt-in gate for the Pallas kernel tier.
+
+All kernels measured BEHIND XLA's own fusions on v5e (round 1), so XLA
+is the default everywhere and the kernels are opt-in:
+
+- ``INFODIFF_ENABLE_PALLAS=1``      : adagn / attention / mmd kernels.
+- ``INFODIFF_ENABLE_FUSED_LATENT=1``: the whole-forward latent-MLP
+  kernel (ops/pallas/latent_mlp.py) — gated separately because it is a
+  known ~10% pessimization vs XLA (kept as a parity-tested alternative),
+  and bundling it under the umbrella flag would silently slow users who
+  enable Pallas hoping for wins elsewhere.
+- ``INFODIFF_DISABLE_PALLAS=1``     : force the XLA paths everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def pallas_enabled(env_var: str = "INFODIFF_ENABLE_PALLAS") -> bool:
+    if os.environ.get("INFODIFF_DISABLE_PALLAS"):
+        return False
+    if not os.environ.get(env_var):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -17,8 +17,7 @@ is one [B,1280]x[1280,1024] MXU matmul; zero padding contributes zeros.
 from __future__ import annotations
 
 import functools
-import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -31,13 +30,19 @@ _EPS = 1e-5
 
 def fused_latent_supported(backbone_params: Dict, a_dim: int) -> bool:
     """True when the param tree is the reference LatentUNet architecture
-    this kernel hard-codes (10 layers, hidden 4*a_dim, 2 time layers)."""
+    this kernel hard-codes: 10 layers, hidden 4*a_dim, 2 time layers,
+    layers 0-8 conditioned+normalized (norm/linear_emb present — the
+    kernel bakes in the FiLM/LayerNorm/SiLU chain), layer 9 plain."""
     try:
         for i in range(10):
-            k = backbone_params[f"layer_{i}"]["linear"]["kernel"]
+            layer = backbone_params[f"layer_{i}"]
+            k = layer["linear"]["kernel"]
             want_in = a_dim if i == 0 else 5 * a_dim
             want_out = a_dim if i == 9 else 4 * a_dim
             if tuple(k.shape) != (want_in, want_out):
+                return False
+            has_cond = "linear_emb" in layer and "norm" in layer
+            if has_cond != (i < 9):
                 return False
         backbone_params["time_embed_0"]["kernel"]
         backbone_params["time_embed_1"]["kernel"]
@@ -49,33 +54,33 @@ def fused_latent_supported(backbone_params: Dict, a_dim: int) -> bool:
 
 
 def use_fused_latent() -> bool:
-    """Opt-in (INFODIFF_ENABLE_PALLAS=1), like the other Pallas kernels.
+    """Opt-in via its OWN env var (INFODIFF_ENABLE_FUSED_LATENT=1), not
+    the INFODIFF_ENABLE_PALLAS umbrella: this kernel is a measured ~10%
+    pessimization vs XLA, and bundling it under a flag users set for
+    wins elsewhere would regress them silently.
 
     Measurement history (v5e, T=1000): an early benchmark showed this
     kernel 4.3x faster than XLA — but that baseline captured the params
     as jit CLOSURE CONSTANTS, which alone makes the XLA latent MLP ~4x
     slower. Against the framework's real path (params passed as jit
     arguments) XLA wins ~10% at every batch (b64 76.0 vs 84.5 ms, b256
-    96.0 vs 106.7, b512 145.7 vs 155.7 per 1000 steps) and the kernel
-    VMEM-OOMs at b1024 (no batch tiling). Kept as a parity-tested
-    alternative path."""
-    if os.environ.get("INFODIFF_DISABLE_PALLAS"):
-        return False
-    if not os.environ.get("INFODIFF_ENABLE_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu"
+    96.0 vs 106.7, b512 145.7 vs 155.7 per 1000 steps). Kept as a
+    parity-tested alternative path."""
+    from infodiffusion_tpu.ops.gating import pallas_enabled
+
+    return pallas_enabled("INFODIFF_ENABLE_FUSED_LATENT")
 
 
 def pack_latent_unet_params(
-    params: Dict, a_dim: int, dtype: jnp.dtype = jnp.bfloat16
+    params: Dict, a_dim: int, dtype: jnp.dtype = jnp.float32
 ) -> Dict[str, jnp.ndarray]:
     """Stack + pad the LatentUNet backbone params for the fused kernel.
 
     ``params``: the Diff(is_latent=True) param tree's ['backbone'] subtree
     (layers named layer_0..layer_9, time_embed_0/1). Only supports the
     reference architecture (num_layers=10, hidden 4*a_dim). ``dtype``
-    sets the matmul-weight dtype (bf16 default: MXU-native; pass f32 for
-    exact-parity testing).
+    sets the matmul-weight dtype — f32 default (matches the module dtype
+    policy default); callers pass the model's dtype (samplers.py does).
     """
     L = 10
     d = a_dim
@@ -134,7 +139,7 @@ def _kernel(x_ref, s_ref, w_hbm, wc_ref, b_ref, bc_ref, g_ref, be_ref,
     w_dma(0, 0).start()
     x = x_ref[...].astype(jnp.float32)
     s = s_ref[...].astype(jnp.float32)
-    hcur = x
+    hcur = None  # layer 0 reads x directly
     for i in range(L):
         if i + 1 < L:
             w_dma((i + 1) % 2, i + 1).start()
@@ -171,21 +176,39 @@ def _kernel(x_ref, s_ref, w_hbm, wc_ref, b_ref, bc_ref, g_ref, be_ref,
 
 def latent_unet_forward_pallas(packed, x: jnp.ndarray,
                                silu_temb: jnp.ndarray,
-                               interpret: bool = False) -> jnp.ndarray:
+                               interpret: bool = False,
+                               block_b: int = 256) -> jnp.ndarray:
     """Fused forward: eps = MLP(x, cond). ``silu_temb`` = silu(time_embed)
-    precomputed once per step (it is layer-invariant)."""
+    precomputed once per step (it is layer-invariant).
+
+    The batch is tiled over a 1-D grid in ``block_b``-row blocks so VMEM
+    use is bounded regardless of batch size (an untiled first cut OOMed
+    scoped vmem at b1024); every row is independent (LayerNorm runs over
+    features), so partial trailing blocks are safe."""
     Bsz, d = x.shape
     L, win, h = packed["W"].shape
-    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    bt = min(block_b, Bsz)
+    grid = ((Bsz + bt - 1) // bt,)
+
+    def rows(shape):
+        return pl.BlockSpec(shape, lambda b: (b,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def full(arr):
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         functools.partial(_kernel, L=L, d=d, h=h),
+        grid=grid,
         in_specs=[
-            vm(),                                  # x
-            vm(),                                  # silu(temb)
-            pl.BlockSpec(memory_space=pl.ANY),     # W (HBM, DMAed)
-            vm(), vm(), vm(), vm(), vm(),          # Wc, B, Bc, G, Be
+            rows((bt, d)),                          # x
+            rows((bt, d)),                          # silu(temb)
+            pl.BlockSpec(memory_space=pl.ANY),      # W (HBM, DMAed)
+            full(packed["Wc"]), full(packed["B"]), full(packed["Bc"]),
+            full(packed["G"]), full(packed["Be"]),
         ],
-        out_specs=vm(),
+        out_specs=rows((bt, d)),
         out_shape=jax.ShapeDtypeStruct((Bsz, d), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, win, h), packed["W"].dtype),

@@ -98,8 +98,10 @@ def test_latent_mlp_fused_interpret_matches_model(d):
     )
 
     model, v = _latent_model_and_params(d)
-    packed = pack_latent_unet_params(v["params"]["backbone"], d)
-    eps = latent_eps_fn(packed, interpret=True)
+    packed_bf16 = pack_latent_unet_params(
+        v["params"]["backbone"], d, dtype=jnp.bfloat16
+    )
+    eps = latent_eps_fn(packed_bf16, interpret=True)
 
     x = jr.normal(jr.PRNGKey(3), (8, d))
     t = jnp.asarray([0, 1, 7, 13, 50, 99, 3, 42], jnp.int32)
@@ -109,13 +111,27 @@ def test_latent_mlp_fused_interpret_matches_model(d):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want, np.float32), atol=5e-2
     )
-    # and tight agreement with f32 packing (isolates the algebra)
-    packed_f32 = pack_latent_unet_params(
-        v["params"]["backbone"], d, dtype=jnp.float32
-    )
+    # and tight agreement with the (default) f32 packing — isolates the
+    # algebra, and checks the safe-by-default dtype policy
+    packed_f32 = pack_latent_unet_params(v["params"]["backbone"], d)
+    assert packed_f32["W"].dtype == jnp.float32
     got32 = latent_eps_fn(packed_f32, interpret=True)(x, t)
     np.testing.assert_allclose(
         np.asarray(got32), np.asarray(want, np.float32), atol=2e-5
+    )
+    # batch tiling: a partial trailing block (block_b=5 over 8 rows)
+    # must agree with the single-block result
+    from infodiffusion_tpu.ops.pallas.latent_mlp import (
+        latent_unet_forward_pallas,
+    )
+
+    s = jnp.zeros((8, d))
+    full = latent_unet_forward_pallas(packed_f32, x, s, interpret=True)
+    tiled = latent_unet_forward_pallas(
+        packed_f32, x, s, interpret=True, block_b=5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(full), atol=1e-6
     )
 
 
@@ -126,8 +142,29 @@ def test_latent_mlp_fused_gate():
     )
 
     _, v = _latent_model_and_params(32)
-    assert fused_latent_supported(v["params"]["backbone"], 32)
-    assert not fused_latent_supported(v["params"]["backbone"], 64)
+    bb = v["params"]["backbone"]
+    assert fused_latent_supported(bb, 32)
+    assert not fused_latent_supported(bb, 64)
     assert not fused_latent_supported({}, 32)
-    # CPU test backend -> fused path must stay off in the sampler wrapper
+    # ablated architectures the kernel hard-codes against must be
+    # rejected: layer 0-8 without norm, or a conditioned layer 9
+    no_norm = dict(bb)
+    no_norm["layer_3"] = {
+        k: val for k, val in bb["layer_3"].items() if k != "norm"
+    }
+    assert not fused_latent_supported(no_norm, 32)
+    cond_tail = dict(bb)
+    cond_tail["layer_9"] = dict(bb["layer_9"],
+                                norm=bb["layer_3"]["norm"],
+                                linear_emb=bb["layer_3"]["linear_emb"])
+    assert not fused_latent_supported(cond_tail, 32)
+    # CPU test backend -> fused path must stay off in the sampler
+    # wrapper, with or without its env var
+    import os
+
     assert not use_fused_latent()
+    os.environ["INFODIFF_ENABLE_FUSED_LATENT"] = "1"
+    try:
+        assert not use_fused_latent()  # still off: backend is cpu
+    finally:
+        del os.environ["INFODIFF_ENABLE_FUSED_LATENT"]
