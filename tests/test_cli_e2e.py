@@ -253,3 +253,19 @@ def test_train_with_tensor_parallel_flag(workdir):
     assert cfg.tp == 2
     dispatch(cfg)
     assert os.path.isdir("models/diff/mnist_8d_0.1mmd/model-1")
+
+
+@pytest.mark.slow
+def test_eval_profiler_hook(workdir, monkeypatch):
+    """INFODIFF_PROFILE on an eval mode captures an xprof trace dir
+    (SURVEY.md §5: the reference has no tracing anywhere)."""
+    cfg = parse_args(_args(["--ch_mult", "1,2", "--attn", "1"]))
+    dispatch(cfg)
+    monkeypatch.setenv("INFODIFF_PROFILE", str(workdir / "trace"))
+    cfg = parse_args(_args(["--mode", "eval", "--epochs", "1",
+                            "--ch_mult", "1,2", "--attn", "1"]))
+    dispatch(cfg)
+    import glob
+
+    assert glob.glob(str(workdir / "trace" / "**" / "*.xplane.pb"),
+                     recursive=True)
