@@ -23,7 +23,6 @@ latents/sec), encode (Encoder imgs/sec — the save_latent workhorse).
 
 import json
 import os
-import sys
 import time
 
 import jax

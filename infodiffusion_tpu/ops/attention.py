@@ -12,8 +12,6 @@ Softmax/logit math runs in f32 even when activations are bf16.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 

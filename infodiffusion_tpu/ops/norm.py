@@ -16,7 +16,6 @@ are computed in f32 regardless of activation dtype (bf16-safe).
 
 from __future__ import annotations
 
-import os
 from typing import Sequence, Tuple
 
 import jax
