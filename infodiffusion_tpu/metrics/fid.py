@@ -10,8 +10,11 @@ MMD over subsets) matches clean-fid's definitions.
 Feature extractors are pluggable because this environment has no network
 egress and no bundled InceptionV3 weights:
 
-- ``inception``: uses clean-fid or torchvision when importable (exact
-  parity with the reference's numbers on machines that have them).
+- ``inception`` (preferred): the TPU-native JAX InceptionV3 in
+  metrics/inception.py, jitted end-to-end, activated whenever a local
+  ``pt_inception`` checkpoint is found (INFODIFF_INCEPTION_WEIGHTS or
+  the torch-hub cache) — exact parity with clean-fid's scores; falls
+  back to the clean-fid torch extractor when only that is importable.
 - ``random`` (fallback): a fixed seeded random-conv feature network in
   JAX, jitted and batched on TPU. Random-projection features preserve
   distributional distances in expectation (Johnson-Lindenstrauss-style),
@@ -28,7 +31,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 STATS_DIR = os.environ.get("INFODIFF_FID_STATS_DIR", "./fid_stats")
-_FEATURE_DIM = 768
 
 
 # ---------------------------------------------------------------------------
@@ -90,14 +92,17 @@ def _random_conv_extractor(seed: int = 0):
 
 def get_extractor(name: str = "auto"):
     if name in ("auto", "inception"):
-        got = _try_inception_extractor()
+        from infodiffusion_tpu.metrics.inception import jax_inception_extractor
+
+        got = jax_inception_extractor() or _try_inception_extractor()
         if got is not None:
             return got
         if name == "inception":
             raise RuntimeError(
-                "InceptionV3 weights unavailable in this environment "
-                "(no network egress); use extractor='random' or install "
-                "clean-fid with cached weights"
+                "InceptionV3 weights unavailable: no local pt_inception "
+                "checkpoint (set INFODIFF_INCEPTION_WEIGHTS) and clean-fid "
+                "is not importable; use extractor='random' or provide "
+                "weights (no network egress in this environment)"
             )
     return _random_conv_extractor()
 

@@ -1,0 +1,205 @@
+"""Parity tests for the TPU-native JAX InceptionV3 FID extractor.
+
+The oracle is the same FID-Inception architecture (pytorch-fid /
+clean-fid's pt_inception: torchvision InceptionV3 with FID-modified
+pools) built here from raw torch.nn.functional ops on random weights.
+This pins down everything the port can get wrong — OIHW->HWIO layout,
+eval-mode BatchNorm folding (eps=1e-3), VALID/SAME-like paddings,
+max-pool vs count_include_pad=False average pools, and the Mixed_7c
+max-pool branch — so real pt_inception weights produce torch-identical
+features (and therefore clean-fid-identical FID).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from infodiffusion_tpu.metrics import inception as inc  # noqa: E402
+
+
+def make_state_dict(seed=0):
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for name, cin, cout, (kh, kw), _s, _p in inc.conv_specs():
+        scale = np.sqrt(2.0 / (kh * kw * cin))
+        sd[f"{name}.conv.weight"] = torch.tensor(
+            (rng.randn(cout, cin, kh, kw) * scale).astype(np.float32)
+        )
+        sd[f"{name}.bn.weight"] = torch.tensor(
+            rng.uniform(0.7, 1.3, cout).astype(np.float32)
+        )
+        sd[f"{name}.bn.bias"] = torch.tensor(
+            rng.randn(cout).astype(np.float32) * 0.05
+        )
+        sd[f"{name}.bn.running_mean"] = torch.tensor(
+            rng.randn(cout).astype(np.float32) * 0.05
+        )
+        sd[f"{name}.bn.running_var"] = torch.tensor(
+            rng.uniform(0.7, 1.3, cout).astype(np.float32)
+        )
+    return sd
+
+
+# ---- torch oracle (independent re-derivation of the FID architecture) ----
+
+
+def tconv(x, sd, name, stride=1, pad=(0, 0)):
+    y = F.conv2d(x, sd[f"{name}.conv.weight"], stride=stride, padding=pad)
+    y = F.batch_norm(
+        y,
+        sd[f"{name}.bn.running_mean"],
+        sd[f"{name}.bn.running_var"],
+        sd[f"{name}.bn.weight"],
+        sd[f"{name}.bn.bias"],
+        training=False,
+        eps=inc.EPS,
+    )
+    return F.relu(y)
+
+
+def tavg(x):
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+
+def t_block_a(x, sd, p):
+    b1 = tconv(x, sd, f"{p}.branch1x1")
+    b5 = tconv(tconv(x, sd, f"{p}.branch5x5_1"), sd, f"{p}.branch5x5_2", pad=(2, 2))
+    b3 = tconv(x, sd, f"{p}.branch3x3dbl_1")
+    b3 = tconv(b3, sd, f"{p}.branch3x3dbl_2", pad=(1, 1))
+    b3 = tconv(b3, sd, f"{p}.branch3x3dbl_3", pad=(1, 1))
+    bp = tconv(tavg(x), sd, f"{p}.branch_pool")
+    return torch.cat([b1, b5, b3, bp], 1)
+
+
+def t_block_b(x, sd, p):
+    b3 = tconv(x, sd, f"{p}.branch3x3", stride=2)
+    bd = tconv(x, sd, f"{p}.branch3x3dbl_1")
+    bd = tconv(bd, sd, f"{p}.branch3x3dbl_2", pad=(1, 1))
+    bd = tconv(bd, sd, f"{p}.branch3x3dbl_3", stride=2)
+    return torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+
+
+def t_block_c(x, sd, p):
+    b1 = tconv(x, sd, f"{p}.branch1x1")
+    b7 = tconv(x, sd, f"{p}.branch7x7_1")
+    b7 = tconv(b7, sd, f"{p}.branch7x7_2", pad=(0, 3))
+    b7 = tconv(b7, sd, f"{p}.branch7x7_3", pad=(3, 0))
+    bd = tconv(x, sd, f"{p}.branch7x7dbl_1")
+    bd = tconv(bd, sd, f"{p}.branch7x7dbl_2", pad=(3, 0))
+    bd = tconv(bd, sd, f"{p}.branch7x7dbl_3", pad=(0, 3))
+    bd = tconv(bd, sd, f"{p}.branch7x7dbl_4", pad=(3, 0))
+    bd = tconv(bd, sd, f"{p}.branch7x7dbl_5", pad=(0, 3))
+    bp = tconv(tavg(x), sd, f"{p}.branch_pool")
+    return torch.cat([b1, b7, bd, bp], 1)
+
+
+def t_block_d(x, sd, p):
+    b3 = tconv(x, sd, f"{p}.branch3x3_1")
+    b3 = tconv(b3, sd, f"{p}.branch3x3_2", stride=2)
+    b7 = tconv(x, sd, f"{p}.branch7x7x3_1")
+    b7 = tconv(b7, sd, f"{p}.branch7x7x3_2", pad=(0, 3))
+    b7 = tconv(b7, sd, f"{p}.branch7x7x3_3", pad=(3, 0))
+    b7 = tconv(b7, sd, f"{p}.branch7x7x3_4", stride=2)
+    return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+
+def t_block_e(x, sd, p, pool):
+    b1 = tconv(x, sd, f"{p}.branch1x1")
+    b3 = tconv(x, sd, f"{p}.branch3x3_1")
+    b3 = torch.cat(
+        [
+            tconv(b3, sd, f"{p}.branch3x3_2a", pad=(0, 1)),
+            tconv(b3, sd, f"{p}.branch3x3_2b", pad=(1, 0)),
+        ],
+        1,
+    )
+    bd = tconv(x, sd, f"{p}.branch3x3dbl_1")
+    bd = tconv(bd, sd, f"{p}.branch3x3dbl_2", pad=(1, 1))
+    bd = torch.cat(
+        [
+            tconv(bd, sd, f"{p}.branch3x3dbl_3a", pad=(0, 1)),
+            tconv(bd, sd, f"{p}.branch3x3dbl_3b", pad=(1, 0)),
+        ],
+        1,
+    )
+    if pool == "max":
+        bp = F.max_pool2d(x, 3, stride=1, padding=1)
+    else:
+        bp = tavg(x)
+    bp = tconv(bp, sd, f"{p}.branch_pool")
+    return torch.cat([b1, b3, bd, bp], 1)
+
+
+def torch_features(sd, x_nchw):
+    h = x_nchw * 2.0 - 1.0
+    h = tconv(h, sd, "Conv2d_1a_3x3", stride=2)
+    h = tconv(h, sd, "Conv2d_2a_3x3")
+    h = tconv(h, sd, "Conv2d_2b_3x3", pad=(1, 1))
+    h = F.max_pool2d(h, 3, 2)
+    h = tconv(h, sd, "Conv2d_3b_1x1")
+    h = tconv(h, sd, "Conv2d_4a_3x3")
+    h = F.max_pool2d(h, 3, 2)
+    for p in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        h = t_block_a(h, sd, p)
+    h = t_block_b(h, sd, "Mixed_6a")
+    for p in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        h = t_block_c(h, sd, p)
+    h = t_block_d(h, sd, "Mixed_7a")
+    h = t_block_e(h, sd, "Mixed_7b", pool="avg")
+    h = t_block_e(h, sd, "Mixed_7c", pool="max")
+    return h.mean(dim=(2, 3))
+
+
+# ---- tests ----
+
+
+def test_jax_inception_matches_torch_oracle():
+    # 95px keeps the full topology (every block executes, final grid 1x1)
+    # at ~10x less compute than 299px.
+    sd = make_state_dict(seed=3)
+    x = np.random.RandomState(7).rand(2, 95, 95, 3).astype(np.float32)
+    with torch.no_grad():
+        want = torch_features(
+            {k: v.clone() for k, v in sd.items()},
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+        ).numpy()
+    params = inc.fold_state_dict({k: v.numpy() for k, v in sd.items()})
+    got = np.asarray(inc.forward(params, x))
+    assert got.shape == (2, inc.FEATURE_DIM)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_extractor_end_to_end_from_checkpoint(tmp_path, monkeypatch):
+    ckpt = tmp_path / "pt_inception-test.pth"
+    torch.save(make_state_dict(seed=1), ckpt)
+    monkeypatch.setenv("INFODIFF_INCEPTION_WEIGHTS", str(ckpt))
+    inc._cached_extractor.cache_clear()
+    try:
+        from infodiffusion_tpu.metrics.fid import get_extractor
+
+        extract, tag = get_extractor("inception")
+        assert tag == "inception-jax"
+        batch = np.random.RandomState(0).randint(
+            0, 256, (3, 64, 64, 3), dtype=np.uint8
+        )
+        feats = extract(batch)
+        assert feats.shape == (3, inc.FEATURE_DIM)
+        assert np.all(np.isfinite(feats))
+    finally:
+        inc._cached_extractor.cache_clear()
+
+
+def test_default_weights_path_env_missing(monkeypatch, tmp_path):
+    monkeypatch.setenv("INFODIFF_INCEPTION_WEIGHTS", str(tmp_path / "nope.pth"))
+    assert inc.default_weights_path() is None
+
+
+def test_clean_resize_preserves_constant_images():
+    batch = np.full((2, 64, 64, 3), 128, np.uint8)
+    out = inc.clean_resize(batch, 37)
+    assert out.shape == (2, 37, 37, 3)
+    np.testing.assert_allclose(out, 128.0 / 255.0, atol=1e-6)
