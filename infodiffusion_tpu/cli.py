@@ -96,6 +96,10 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
                    help="bfloat16 activations (schedule math stays f32)")
     p.add_argument("--mesh_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize the JAX distributed runtime (TPU pods: "
+                        "one process per host; also auto-detected from the "
+                        "coordinator env vars)")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the latest checkpoint")
     p.add_argument("--fsdp", action="store_true",
@@ -143,7 +147,11 @@ def main(argv: Optional[Sequence[str]] = None):
     from infodiffusion_tpu.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    dispatch(parse_args(argv))
+    cfg = parse_args(argv)
+    from infodiffusion_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize(cfg.multihost)
+    dispatch(cfg)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,10 @@ class Config:
     bf16: bool = False
     # Data-parallel mesh size; None => all local devices.
     mesh_devices: Optional[int] = None
+    # Multi-host (TPU pod) execution: initialize jax.distributed so every
+    # process sees the global device set; the loader then feeds each host
+    # only the global-batch rows its chips own (parallel/multihost.py).
+    multihost: bool = False
     # Resume training from the latest checkpoint if present (new capability:
     # the reference saves weights only and cannot resume; run.py:145-158).
     resume: bool = False

@@ -7,6 +7,13 @@ N-deep background prefetcher that overlaps decode/augment with device
 compute and lands batches directly in device memory (sharded over the
 mesh's data axis when one is given) — the reference instead pays a
 ``.to(device)`` H2D copy inside its hot loop (run.py:194).
+
+``batch_size`` is always the GLOBAL batch size. Under a mesh the loader
+is multi-host-aware: every process draws the same shuffled index order
+(same seed), materializes only the rows its local devices own, and
+assembles the global sharded ``jax.Array`` via
+``parallel.multihost.shard_batch_global`` (single-process this equals a
+plain sharded device_put, so the CPU-mesh tests run the pod code path).
 """
 
 from __future__ import annotations
@@ -66,18 +73,23 @@ class DataLoader:
                 lambda v: jax.device_put(v) if v is not None else None, batch,
                 is_leaf=lambda v: v is None,
             )
-        from infodiffusion_tpu.parallel import shard_batch
+        from infodiffusion_tpu.parallel.multihost import shard_batch_global
 
-        return jax.tree.map(
-            lambda v: shard_batch(self.mesh, v) if v is not None else None,
-            batch,
-            is_leaf=lambda v: v is None,
-        )
+        return shard_batch_global(self.mesh, batch, self.batch_size)
+
+    def _local_rows(self):
+        """Rows of each global batch this process materializes."""
+        if self.mesh is None or jax.process_count() == 1:
+            return np.arange(self.batch_size)
+        from infodiffusion_tpu.parallel.multihost import local_row_indices
+
+        return local_row_indices(self.mesh, self.batch_size)
 
     def __iter__(self) -> Iterator:
         order = self._order()
         self._epoch += 1
         nb = len(self)
+        local_rows = self._local_rows()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -89,7 +101,7 @@ class DataLoader:
                 # device_put here so H2D transfer overlaps device compute
                 # (the reference pays .to(device) inside its hot loop,
                 # run.py:194)
-                q.put(self._device_put(self._assemble(idx)))
+                q.put(self._device_put(self._assemble(idx[local_rows])))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -1,0 +1,97 @@
+"""Multi-host plumbing tests (single-process: jax.process_count()==1).
+
+The pod-only pieces (N processes, coordinator) can't run here, but the
+whole data path multi-host uses — local_row_indices -> per-device
+assembly -> make_array_from_single_device_arrays — runs identically
+single-process on the 8-device CPU mesh, where it must bit-match the
+plain sharded device_put it replaces.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from infodiffusion_tpu.parallel import make_mesh
+from infodiffusion_tpu.parallel.mesh import batch_sharding
+from infodiffusion_tpu.parallel.multihost import (
+    local_row_indices,
+    maybe_initialize,
+    process_allgather,
+    shard_batch_global,
+)
+
+
+def test_local_rows_partition_the_batch():
+    for mesh in (make_mesh(8), make_mesh(8, model_parallel=2)):
+        rows = local_row_indices(mesh, 32)
+        # single process owns everything; rows sorted and complete
+        np.testing.assert_array_equal(rows, np.arange(32))
+
+
+def test_shard_batch_global_matches_device_put():
+    x = np.arange(16 * 3 * 4, dtype=np.float32).reshape(16, 3, 4)
+    for mesh in (make_mesh(8), make_mesh(8, model_parallel=2)):
+        got = shard_batch_global(mesh, x, 16)
+        want = jax.device_put(x, batch_sharding(mesh))
+        assert got.sharding.is_equivalent_to(want.sharding, x.ndim)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_shard_batch_global_pytree_with_none():
+    mesh = make_mesh(8)
+    x = np.ones((8, 2), np.float32)
+    a = np.arange(8, dtype=np.int32)
+    out_x, out_a, out_none = shard_batch_global(mesh, (x, a, None), 8)
+    assert out_none is None
+    np.testing.assert_array_equal(np.asarray(out_x), x)
+    np.testing.assert_array_equal(np.asarray(out_a), a)
+
+
+def test_shard_batch_global_rejects_wrong_local_count():
+    mesh = make_mesh(8)
+    import pytest
+
+    with pytest.raises(ValueError, match="local batch"):
+        shard_batch_global(mesh, np.ones((4, 2), np.float32), 16)
+
+
+def test_global_array_feeds_jit_reduction():
+    mesh = make_mesh(8)
+    x = np.arange(32, dtype=np.float32).reshape(32, 1)
+    gx = shard_batch_global(mesh, x, 32)
+    # a global-semantics jitted reduction sees the full batch
+    assert float(jnp.sum(gx)) == float(x.sum())
+
+
+def test_loader_under_mesh_uses_global_assembly():
+    from infodiffusion_tpu.data.datasets import ArrayDataset
+    from infodiffusion_tpu.data.loader import DataLoader
+
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (64, 8, 8, 1), dtype=np.uint8
+    )
+    ds = ArrayDataset(images=imgs)
+
+    mesh = make_mesh(8)
+    batches_mesh = [
+        np.asarray(b)
+        for b in DataLoader(ds, 16, shuffle=True, seed=3, mesh=mesh)
+    ]
+    batches_host = [
+        np.asarray(b) for b in DataLoader(ds, 16, shuffle=True, seed=3)
+    ]
+    assert len(batches_mesh) == len(batches_host) == 4
+    for got, want in zip(batches_mesh, batches_host):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_maybe_initialize_noop_without_request(monkeypatch):
+    monkeypatch.delenv("INFODIFF_MULTIHOST", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert maybe_initialize(False) is False
+
+
+def test_process_allgather_identity_single_process():
+    x = np.arange(6).reshape(2, 3)
+    np.testing.assert_array_equal(process_allgather(x), x)
