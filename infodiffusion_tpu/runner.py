@@ -10,6 +10,9 @@ batched jitted encoding for save_latent.
 from __future__ import annotations
 
 import os
+import signal
+import threading
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -198,6 +201,17 @@ def _nth_batch(loader, n: int):
 # training (reference: run.py:161-212)
 # ---------------------------------------------------------------------------
 
+_PREEMPTED = threading.Event()
+
+
+def request_preempt(signum=None, frame=None):
+    """Ask the training loop to checkpoint the full state and exit at the
+    next step boundary. Installed as the SIGTERM handler during train()
+    (TPU pod preemption notice); also callable directly, and triggerable
+    after N steps via INFODIFF_PREEMPT_AFTER_STEPS=N (fault injection —
+    SURVEY.md §5: the reference has no failure-recovery story at all)."""
+    _PREEMPTED.set()
+
 
 def train(cfg: Config, latent: bool = False):
     rng = seed_everything(cfg.r_seed)
@@ -251,6 +265,31 @@ def train(cfg: Config, latent: bool = False):
     # first epoch, viewable in TensorBoard / xprof.
     profile_dir = os.environ.get("INFODIFF_PROFILE")
     profile_state = {"on": False, "done": profile_dir is None}
+    # preemption-safe training: SIGTERM (the pod preemption notice)
+    # checkpoints at the next step boundary and exits cleanly; --resume
+    # continues (re-running the interrupted epoch's data on the saved,
+    # further-trained state). Host-side step counter — no device sync.
+    _PREEMPTED.clear()
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        prev_handler = signal.signal(signal.SIGTERM, request_preempt)
+    preempt_after = int(os.environ.get("INFODIFF_PREEMPT_AFTER_STEPS", "0"))
+    host_steps = 0
+    try:
+        return _train_loop(
+            cfg, loader, state, step_fn, start_epoch, losses, progress,
+            log_every, profile_dir, profile_state, writer, ckpt_root,
+            preempt_after, host_steps,
+        )
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+
+
+def _train_loop(
+    cfg, loader, state, step_fn, start_epoch, losses, progress, log_every,
+    profile_dir, profile_state, writer, ckpt_root, preempt_after, host_steps,
+):
     for curr_epoch in range(start_epoch, cfg.epochs):
         total, count = 0.0, 0
         last_metrics = None
@@ -268,6 +307,18 @@ def train(cfg: Config, latent: bool = False):
                     print(f"Saved profiler trace to {profile_dir}")
             state, metrics = step_fn(state, batch, curr_epoch)
             last_metrics = metrics
+            host_steps += 1
+            if preempt_after and host_steps >= preempt_after:
+                request_preempt()
+            if _PREEMPTED.is_set():
+                path = save_checkpoint(ckpt_root, curr_epoch, state)
+                print(
+                    f"Preempted at step {host_steps} of epoch "
+                    f"{curr_epoch}: saved full train state to {path}; "
+                    f"continue with --resume"
+                )
+                writer.close()
+                return state
             # fetch metrics only every log_every steps: a per-step float()
             # would force a device sync in the hot loop (the reference
             # pays exactly that via loss.item(); run.py:201)
