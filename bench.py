@@ -18,7 +18,8 @@ Env knobs: INFODIFF_BENCH_BATCH (default 128), INFODIFF_BENCH_STEPS (100),
 INFODIFF_BENCH_REPS (3), INFODIFF_BENCH_BF16 (default 1),
 INFODIFF_BENCH_MODE selects secondary metrics (not the headline line the
 driver records): train (train imgs/sec/chip), latent (latent-DDIM
-latents/sec), encode (Encoder imgs/sec — the save_latent workhorse).
+latents/sec), encode (Encoder imgs/sec — the save_latent workhorse),
+fid (InceptionV3 FID-feature imgs/sec — the eval_fid scoring pass).
 """
 
 import json
@@ -179,6 +180,48 @@ def encode_main():
     )
 
 
+def fid_main():
+    """Secondary metric: InceptionV3 FID-feature throughput (the 10k-image
+    eval_fid scoring pass; metrics/inception.py jitted on TPU). Weight
+    values don't affect throughput, so random weights with the real
+    architecture shapes are benchmarked (no checkpoint needed)."""
+    import numpy as np
+
+    from infodiffusion_tpu.metrics import inception as inc
+
+    batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "64"))
+    reps = int(os.environ.get("INFODIFF_BENCH_REPS", "10"))
+    rng = np.random.RandomState(0)
+    params = {
+        name: (
+            (rng.randn(kh, kw, cin, cout) * np.sqrt(2.0 / (kh * kw * cin)))
+            .astype(np.float32),
+            np.zeros((cout,), np.float32),
+        )
+        for name, cin, cout, (kh, kw), _s, _p in inc.conv_specs()
+    }
+    fwd = jax.jit(lambda x: inc.forward(params, x))
+    x = jr.uniform(jr.PRNGKey(0), (batch, inc.INPUT_SIZE, inc.INPUT_SIZE, 3))
+    float(jnp.mean(fwd(x)))
+    times = []
+    for i in range(reps):
+        xi = x + jnp.float32(i) * 1e-6
+        t0 = time.perf_counter()
+        float(jnp.mean(fwd(xi)))  # value fetch = reliable sync (see main())
+        times.append(time.perf_counter() - t0)
+    ips = batch / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "inception_fid_features_imgs_per_sec",
+                "value": round(ips, 1),
+                "unit": "imgs/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     if os.environ.get("INFODIFF_BENCH_MODE") == "train":
         return train_main()
@@ -186,6 +229,8 @@ def main():
         return latent_main()
     if os.environ.get("INFODIFF_BENCH_MODE") == "encode":
         return encode_main()
+    if os.environ.get("INFODIFF_BENCH_MODE") == "fid":
+        return fid_main()
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))
