@@ -200,14 +200,18 @@ def fid_main():
         )
         for name, cin, cout, (kh, kw), _s, _p in inc.conv_specs()
     }
-    fwd = jax.jit(lambda x: inc.forward(params, x))
+    # params as jit ARGUMENTS, on device once (CLAUDE.md benchmark trap 1:
+    # closure-constant weights disable XLA layout/donation handling)
+    params = jax.tree.map(jax.device_put, params)
+    fwd = jax.jit(inc.forward)
     x = jr.uniform(jr.PRNGKey(0), (batch, inc.INPUT_SIZE, inc.INPUT_SIZE, 3))
-    float(jnp.mean(fwd(x)))
+    float(jnp.mean(fwd(params, x)))
     times = []
     for i in range(reps):
         xi = x + jnp.float32(i) * 1e-6
         t0 = time.perf_counter()
-        float(jnp.mean(fwd(xi)))  # value fetch = reliable sync (see main())
+        # value fetch = reliable sync (see main())
+        float(jnp.mean(fwd(params, xi)))
         times.append(time.perf_counter() - t0)
     ips = batch / min(times)
     print(

@@ -93,6 +93,18 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # stop-aware put: a plain q.put would block forever on a full
+            # queue when the consumer abandons iteration early (e.g. the
+            # preemption exit), leaking the thread + pinned device batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             for b in range(nb):
                 if stop.is_set():
@@ -101,8 +113,9 @@ class DataLoader:
                 # device_put here so H2D transfer overlaps device compute
                 # (the reference pays .to(device) inside its hot loop,
                 # run.py:194)
-                q.put(self._device_put(self._assemble(idx[local_rows])))
-            q.put(None)
+                if not put(self._device_put(self._assemble(idx[local_rows]))):
+                    return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -17,11 +17,18 @@ from typing import Dict
 
 
 class MetricsWriter:
-    def __init__(self, log_dir: str, use_tb: bool = False):
+    def __init__(self, log_dir: str, use_tb: bool = False, enabled: bool = True):
+        """``enabled=False`` makes every method a no-op — used on
+        non-main processes of a multi-host run so hosts on a shared
+        filesystem don't write the same files."""
+        self.enabled = enabled
         self.log_dir = log_dir
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-        self._tb = None
         if use_tb:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -32,6 +39,8 @@ class MetricsWriter:
         self._t_last = time.perf_counter()
 
     def write(self, step: int, scalars: Dict[str, float], prefix: str = "train"):
+        if not self.enabled:
+            return
         now = time.perf_counter()
         rec = {"step": step, "dt": now - self._t_last}
         self._t_last = now
@@ -42,12 +51,14 @@ class MetricsWriter:
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
     def flush(self):
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self):
         self.flush()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -13,8 +13,10 @@ egress and no bundled InceptionV3 weights:
 - ``inception`` (preferred): the TPU-native JAX InceptionV3 in
   metrics/inception.py, jitted end-to-end, activated whenever a local
   ``pt_inception`` checkpoint is found (INFODIFF_INCEPTION_WEIGHTS or
-  the torch-hub cache) — exact parity with clean-fid's scores; falls
-  back to the clean-fid torch extractor when only that is importable.
+  the torch-hub cache) — exact parity with pytorch-fid's extractor
+  under clean-fid's antialiased resize (near-parity with clean-fid's
+  TF-torchscript port; PARITY.md D8); falls back to the clean-fid torch
+  extractor when only that is importable.
 - ``random`` (fallback): a fixed seeded random-conv feature network in
   JAX, jitted and batched on TPU. Random-projection features preserve
   distributional distances in expectation (Johnson-Lindenstrauss-style),

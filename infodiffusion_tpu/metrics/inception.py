@@ -24,8 +24,16 @@ location) into folded conv weights:
 
 Numerics are guarded by tests/test_inception.py, which builds the same
 architecture from raw ``torch.nn.functional`` ops on random weights and
-checks the JAX forward against it — so when real weights are supplied
-the features (and therefore FID) match the torch pipeline exactly.
+checks the JAX forward against it — so with real pt_inception weights
+the features match pytorch-fid's torch pipeline.
+
+Parity scope (stated precisely): this is pytorch-fid's FID network fed
+through clean-fid's antialiased "clean" resize. clean-fid's own clean
+mode uses a torchscript TF-Inception port instead of pt_inception; the
+two are ports of the same TF graph (the FID pool modifications exist to
+match it) but are not bit-identical, so scores here are
+pytorch-fid-exact and clean-fid-near (divergence recorded in PARITY.md
+D8). The normalization (2·x/255 − 1 == x/127.5 − 1) matches both.
 """
 
 from __future__ import annotations
@@ -181,11 +189,19 @@ def load_params(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
 # ---------------------------------------------------------------------------
 
 
-def _conv(x, p, name, stride=1, pad=(0, 0)):
+@functools.lru_cache(maxsize=1)
+def _conv_geometry() -> Dict[str, Tuple[int, Tuple[int, int]]]:
+    """name -> (stride, pad), straight from the spec table — forward()
+    has a single source of truth for conv geometry."""
+    return {name: (s, p) for name, _i, _o, _k, s, p in conv_specs()}
+
+
+def _conv(x, p, name):
     import jax
     import jax.numpy as jnp
 
     w, b = p[name]
+    stride, pad = _conv_geometry()[name]
     y = jax.lax.conv_general_dilated(
         x, jnp.asarray(w), window_strides=(stride, stride),
         padding=((pad[0], pad[0]), (pad[1], pad[1])),
@@ -223,10 +239,10 @@ def _block_a(x, p, prefix):
 
     b1 = _conv(x, p, f"{prefix}.branch1x1")
     b5 = _conv(x, p, f"{prefix}.branch5x5_1")
-    b5 = _conv(b5, p, f"{prefix}.branch5x5_2", pad=(2, 2))
+    b5 = _conv(b5, p, f"{prefix}.branch5x5_2")
     b3 = _conv(x, p, f"{prefix}.branch3x3dbl_1")
-    b3 = _conv(b3, p, f"{prefix}.branch3x3dbl_2", pad=(1, 1))
-    b3 = _conv(b3, p, f"{prefix}.branch3x3dbl_3", pad=(1, 1))
+    b3 = _conv(b3, p, f"{prefix}.branch3x3dbl_2")
+    b3 = _conv(b3, p, f"{prefix}.branch3x3dbl_3")
     bp = _avg_pool_nopad_count(x)
     bp = _conv(bp, p, f"{prefix}.branch_pool")
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
@@ -235,10 +251,10 @@ def _block_a(x, p, prefix):
 def _block_b(x, p, prefix):
     import jax.numpy as jnp
 
-    b3 = _conv(x, p, f"{prefix}.branch3x3", stride=2)
+    b3 = _conv(x, p, f"{prefix}.branch3x3")
     bd = _conv(x, p, f"{prefix}.branch3x3dbl_1")
-    bd = _conv(bd, p, f"{prefix}.branch3x3dbl_2", pad=(1, 1))
-    bd = _conv(bd, p, f"{prefix}.branch3x3dbl_3", stride=2)
+    bd = _conv(bd, p, f"{prefix}.branch3x3dbl_2")
+    bd = _conv(bd, p, f"{prefix}.branch3x3dbl_3")
     bp = _max_pool(x)
     return jnp.concatenate([b3, bd, bp], axis=-1)
 
@@ -248,13 +264,13 @@ def _block_c(x, p, prefix):
 
     b1 = _conv(x, p, f"{prefix}.branch1x1")
     b7 = _conv(x, p, f"{prefix}.branch7x7_1")
-    b7 = _conv(b7, p, f"{prefix}.branch7x7_2", pad=(0, 3))
-    b7 = _conv(b7, p, f"{prefix}.branch7x7_3", pad=(3, 0))
+    b7 = _conv(b7, p, f"{prefix}.branch7x7_2")
+    b7 = _conv(b7, p, f"{prefix}.branch7x7_3")
     bd = _conv(x, p, f"{prefix}.branch7x7dbl_1")
-    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_2", pad=(3, 0))
-    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_3", pad=(0, 3))
-    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_4", pad=(3, 0))
-    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_5", pad=(0, 3))
+    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_2")
+    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_3")
+    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_4")
+    bd = _conv(bd, p, f"{prefix}.branch7x7dbl_5")
     bp = _avg_pool_nopad_count(x)
     bp = _conv(bp, p, f"{prefix}.branch_pool")
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
@@ -264,11 +280,11 @@ def _block_d(x, p, prefix):
     import jax.numpy as jnp
 
     b3 = _conv(x, p, f"{prefix}.branch3x3_1")
-    b3 = _conv(b3, p, f"{prefix}.branch3x3_2", stride=2)
+    b3 = _conv(b3, p, f"{prefix}.branch3x3_2")
     b7 = _conv(x, p, f"{prefix}.branch7x7x3_1")
-    b7 = _conv(b7, p, f"{prefix}.branch7x7x3_2", pad=(0, 3))
-    b7 = _conv(b7, p, f"{prefix}.branch7x7x3_3", pad=(3, 0))
-    b7 = _conv(b7, p, f"{prefix}.branch7x7x3_4", stride=2)
+    b7 = _conv(b7, p, f"{prefix}.branch7x7x3_2")
+    b7 = _conv(b7, p, f"{prefix}.branch7x7x3_3")
+    b7 = _conv(b7, p, f"{prefix}.branch7x7x3_4")
     bp = _max_pool(x)
     return jnp.concatenate([b3, b7, bp], axis=-1)
 
@@ -280,17 +296,17 @@ def _block_e(x, p, prefix, pool: str):
     b3 = _conv(x, p, f"{prefix}.branch3x3_1")
     b3 = jnp.concatenate(
         [
-            _conv(b3, p, f"{prefix}.branch3x3_2a", pad=(0, 1)),
-            _conv(b3, p, f"{prefix}.branch3x3_2b", pad=(1, 0)),
+            _conv(b3, p, f"{prefix}.branch3x3_2a"),
+            _conv(b3, p, f"{prefix}.branch3x3_2b"),
         ],
         axis=-1,
     )
     bd = _conv(x, p, f"{prefix}.branch3x3dbl_1")
-    bd = _conv(bd, p, f"{prefix}.branch3x3dbl_2", pad=(1, 1))
+    bd = _conv(bd, p, f"{prefix}.branch3x3dbl_2")
     bd = jnp.concatenate(
         [
-            _conv(bd, p, f"{prefix}.branch3x3dbl_3a", pad=(0, 1)),
-            _conv(bd, p, f"{prefix}.branch3x3dbl_3b", pad=(1, 0)),
+            _conv(bd, p, f"{prefix}.branch3x3dbl_3a"),
+            _conv(bd, p, f"{prefix}.branch3x3dbl_3b"),
         ],
         axis=-1,
     )
@@ -305,9 +321,9 @@ def forward(params, x):
     import jax.numpy as jnp
 
     h = x * 2.0 - 1.0  # TF-Inception input scaling (normalize_input)
-    h = _conv(h, params, "Conv2d_1a_3x3", stride=2)
+    h = _conv(h, params, "Conv2d_1a_3x3")
     h = _conv(h, params, "Conv2d_2a_3x3")
-    h = _conv(h, params, "Conv2d_2b_3x3", pad=(1, 1))
+    h = _conv(h, params, "Conv2d_2b_3x3")
     h = _max_pool(h)
     h = _conv(h, params, "Conv2d_3b_1x1")
     h = _conv(h, params, "Conv2d_4a_3x3")
@@ -334,7 +350,9 @@ def forward(params, x):
 def clean_resize(batch_u8: np.ndarray, size: int = INPUT_SIZE) -> np.ndarray:
     """clean-fid's "clean" resize: float PIL bicubic per channel (the
     antialiased path that defines clean-fid's scores), -> [B,size,size,3]
-    float32 in [0, 1]."""
+    float32 in roughly [0, 1]. Deliberately NOT clipped: bicubic
+    overshoots at sharp edges and clean-fid feeds the unclipped floats
+    to its extractor."""
     from PIL import Image
 
     out = np.empty((batch_u8.shape[0], size, size, 3), np.float32)
@@ -343,19 +361,22 @@ def clean_resize(batch_u8: np.ndarray, size: int = INPUT_SIZE) -> np.ndarray:
             ch = Image.fromarray(img[:, :, c].astype(np.float32), mode="F")
             ch = ch.resize((size, size), Image.BICUBIC)
             out[i, :, :, c] = np.asarray(ch, np.float32)
-    return np.clip(out / 255.0, 0.0, 1.0)
+    return out / 255.0
 
 
 @functools.lru_cache(maxsize=1)
 def _cached_extractor(path: str):
     import jax
 
-    params = load_params(path)
-    fwd = jax.jit(functools.partial(forward, params))
+    # params on device once, passed as jit ARGUMENTS — baking ~95MB of
+    # weights in as closure constants bloats the executable and the
+    # remote-compile payload (CLAUDE.md benchmark trap 1)
+    params = jax.tree.map(jax.device_put, load_params(path))
+    fwd = jax.jit(forward)
 
     def extract(batch_u8: np.ndarray) -> np.ndarray:  # [B, H, W, 3] uint8
         x = clean_resize(batch_u8)
-        return np.asarray(fwd(x))
+        return np.asarray(fwd(params, x))
 
     return extract
 

@@ -52,8 +52,10 @@ def maybe_initialize(multihost: bool = False) -> bool:
     try:
         jax.distributed.initialize()
         return True
-    except RuntimeError as exc:  # already initialized
-        if "already" in str(exc).lower():
+    except RuntimeError as exc:
+        # already initialized (jax raises "...should only be called once.")
+        msg = str(exc).lower()
+        if "already" in msg or "once" in msg:
             return True
         raise
 
@@ -136,3 +138,28 @@ def process_allgather(x) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+
+
+def agree_on_preemption(local_flag: bool) -> bool:
+    """Cross-host agreement on the preemption decision: True iff ANY
+    process saw the signal. On a pod, hosts receive SIGTERM at slightly
+    different times; acting on the host-local flag alone would have one
+    process leave the step loop while the rest enter the next gradient
+    all-reduce and deadlock. Every process must call this at the same
+    step boundaries (a collective). Single-process: the flag itself."""
+    if jax.process_count() == 1:
+        return bool(local_flag)
+    flags = process_allgather(np.array([1 if local_flag else 0], np.int32))
+    return bool(np.any(flags))
+
+
+def require_single_process(what: str) -> None:
+    """Eval/scoring drivers fetch full arrays to host and write artifact
+    files; they are single-host by design (train is the multi-host
+    surface). Fail fast with a clear message instead of crashing on a
+    non-addressable-array fetch deep inside."""
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            f"{what} runs single-host: launch it without --multihost "
+            f"(training is the multi-host path; SURVEY.md §2.3)"
+        )

@@ -127,9 +127,11 @@ def _init_state(cfg: Config, model, loader, rng, latent=False):
     example = next(iter(loader))
     if isinstance(example, tuple):
         example = example[0]
-    example = jax.device_get(example)
+    # shape/dtype only: on a pod the loader yields global arrays whose
+    # shards span other hosts — a device_get/np fetch would raise
+    example = jnp.zeros(example.shape, example.dtype)
     state = create_train_state(
-        model, rng, jnp.asarray(example), tx, ema=cfg.ema_decay > 0
+        model, rng, example, tx, ema=cfg.ema_decay > 0
     )
     return tx, state, steps_per_epoch
 
@@ -202,6 +204,10 @@ def _nth_batch(loader, n: int):
 # ---------------------------------------------------------------------------
 
 _PREEMPTED = threading.Event()
+# cadence (in steps) of the cross-host preemption agreement collective;
+# preemption notices give tens of seconds, so a few steps of latency is
+# fine and the per-step cost is zero off-cadence
+_PREEMPT_SYNC_EVERY = int(os.environ.get("INFODIFF_PREEMPT_SYNC_EVERY", "10"))
 
 
 def request_preempt(signum=None, frame=None):
@@ -233,7 +239,13 @@ def train(cfg: Config, latent: bool = False):
         model = build_model(cfg)
         log_dir = os.path.join(cfg.log_folder, generate_exp_string(cfg))
 
-    writer = MetricsWriter(log_dir, use_tb=cfg.tb_logger)
+    from infodiffusion_tpu.parallel.multihost import is_main_process
+
+    # one writer per pod: hosts on a shared filesystem must not write
+    # the same metrics/TB files
+    writer = MetricsWriter(
+        log_dir, use_tb=cfg.tb_logger, enabled=is_main_process()
+    )
     tx, state, steps_per_epoch = _init_state(cfg, model, loader, rng, latent)
     if mesh is not None:
         if cfg.tp > 1:
@@ -310,7 +322,22 @@ def _train_loop(
             host_steps += 1
             if preempt_after and host_steps >= preempt_after:
                 request_preempt()
-            if _PREEMPTED.is_set():
+            # multi-host: the decision must be AGREED across processes
+            # (hosts get SIGTERM at different instants; acting on the
+            # local flag alone would deadlock the others' next
+            # all-reduce), so poll the collective on a fixed cadence —
+            # every host reaches the same host_steps values in lockstep.
+            if jax.process_count() == 1:
+                preempt_now = _PREEMPTED.is_set()
+            elif host_steps % _PREEMPT_SYNC_EVERY == 0:
+                from infodiffusion_tpu.parallel.multihost import (
+                    agree_on_preemption,
+                )
+
+                preempt_now = agree_on_preemption(_PREEMPTED.is_set())
+            else:
+                preempt_now = False
+            if preempt_now:
                 path = save_checkpoint(ckpt_root, curr_epoch, state)
                 print(
                     f"Preempted at step {host_steps} of epoch "
@@ -381,6 +408,9 @@ def _second_model(cfg: Config):
 
 
 def evaluate(cfg: Config):
+    from infodiffusion_tpu.parallel.multihost import require_single_process
+
+    require_single_process(f"--mode {cfg.mode}")
     rng = seed_everything(cfg.r_seed)
     cfg, model, variables = _build_eval(cfg)
     mode = cfg.mode
@@ -748,6 +778,9 @@ def _mode_attr_classification(cfg: Config, model, variables, rng):
 def save_original_img(cfg: Config):
     """Dump the dataset as [0,1]-scaled PNGs for FID stats
     (reference: run.py:540-549)."""
+    from infodiffusion_tpu.parallel.multihost import require_single_process
+
+    require_single_process("--mode save_original_img")
     cfg = cfg.with_dataset_config()
     out = f"./{cfg.dataset}_imgs/"
     os.makedirs(out, exist_ok=True)

@@ -42,7 +42,14 @@ def _path(root: str, epoch: int) -> str:
 def save_checkpoint(root: str, epoch: int, state: TrainState) -> str:
     path = _path(root, epoch)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    if jax.process_count() > 1:
+        # multi-host: every process calls save with the global jax.Arrays
+        # and Orbax coordinates the collective write (device_get would
+        # raise on shards spanning non-addressable devices, and per-host
+        # numpy saves would race on the same path)
+        ckptr.save(path, state, force=True)
+    else:
+        ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
     return path
 

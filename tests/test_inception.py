@@ -7,7 +7,8 @@ This pins down everything the port can get wrong — OIHW->HWIO layout,
 eval-mode BatchNorm folding (eps=1e-3), VALID/SAME-like paddings,
 max-pool vs count_include_pad=False average pools, and the Mixed_7c
 max-pool branch — so real pt_inception weights produce torch-identical
-features (and therefore clean-fid-identical FID).
+features (pytorch-fid-exact FID; see PARITY.md D8 for the
+clean-fid-near scope).
 """
 
 import os

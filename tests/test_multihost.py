@@ -95,3 +95,47 @@ def test_maybe_initialize_noop_without_request(monkeypatch):
 def test_process_allgather_identity_single_process():
     x = np.arange(6).reshape(2, 3)
     np.testing.assert_array_equal(process_allgather(x), x)
+
+
+def test_agree_on_preemption_single_process():
+    from infodiffusion_tpu.parallel.multihost import agree_on_preemption
+
+    assert agree_on_preemption(True) is True
+    assert agree_on_preemption(False) is False
+
+
+def test_require_single_process_is_noop_here():
+    from infodiffusion_tpu.parallel.multihost import require_single_process
+
+    require_single_process("--mode eval")  # process_count()==1: no raise
+
+
+def test_disabled_metrics_writer_writes_nothing(tmp_path):
+    from infodiffusion_tpu.logging_utils import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path / "logs"), enabled=False)
+    w.write(0, {"loss": 1.0})
+    w.flush()
+    w.close()
+    assert not (tmp_path / "logs").exists()
+
+
+def test_loader_abandoned_iteration_releases_producer():
+    import gc
+    import threading
+    import time
+
+    from infodiffusion_tpu.data.datasets import ArrayDataset
+    from infodiffusion_tpu.data.loader import DataLoader
+
+    imgs = np.zeros((64, 4, 4, 1), np.uint8)
+    loader = DataLoader(ArrayDataset(images=imgs), 8, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch (the preemption exit path)
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before
