@@ -38,6 +38,14 @@ def _gn_stats(x: jnp.ndarray, num_groups: int) -> Tuple[jnp.ndarray, jnp.ndarray
     """Per-(batch, group) mean/rstd in f32. x: [..., C]."""
     *lead, C = x.shape
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
+    import os
+
+    if os.environ.get("INFODIFF_ABLATE_GN_STATS") == "1":
+        # DIAGNOSTIC ONLY (not parity-correct): constant stats, so the
+        # stats reductions vanish from the program — used to attribute
+        # their cost in the sampler roofline analysis (tools/).
+        shape = (x.shape[0], 1, num_groups, 1)
+        return jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32)
     xf = x.astype(jnp.float32).reshape(x.shape[0], -1, num_groups, C // num_groups)
     # one-pass stats (E[x^2] - mean^2): both reductions land in ONE XLA
     # fusion reading x once, vs two passes for the (x - mean)^2 form —
