@@ -109,6 +109,11 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
                    help="tensor-parallel size (the mesh's 'model' axis; "
                         "weights shard on output features, composes with "
                         "--fsdp)")
+    p.add_argument("--async_ckpt", action="store_true",
+                   help="non-blocking checkpoint writes (Orbax async; "
+                        "barriered at train end / preemption)")
+    p.add_argument("--keep_checkpoints", type=int, default=None,
+                   help="retain only the newest N checkpoint epochs")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="EMA decay for eval weights (0 = off)")
     p.add_argument("--ch_mult", type=str, default=None,

@@ -111,6 +111,13 @@ class Config:
     # Tensor parallelism: size of the mesh's 'model' axis (1 = off).
     # Weights shard on their output-feature dim; composes with --fsdp.
     tp: int = 1
+    # Async checkpointing: Orbax snapshots device memory synchronously,
+    # persists in the background — the train loop keeps stepping during
+    # the write (barriered at train end / preemption).
+    async_ckpt: bool = False
+    # Checkpoint retention: keep only the newest N epochs (None = keep
+    # all, like the reference).
+    keep_checkpoints: Optional[int] = None
     # EMA of parameters (0 = off, like the reference; e.g. 0.9999).
     # When on, checkpoints carry ema_params and eval prefers them.
     ema_decay: float = 0.0

@@ -338,6 +338,11 @@ def _train_loop(
             else:
                 preempt_now = False
             if preempt_now:
+                from infodiffusion_tpu.train.checkpoint import wait_for_saves
+
+                wait_for_saves()  # flush any in-flight async write first
+                # the preemption save itself is synchronous: the process
+                # exits right after
                 path = save_checkpoint(ckpt_root, curr_epoch, state)
                 print(
                     f"Preempted at step {host_steps} of epoch "
@@ -370,8 +375,15 @@ def _train_loop(
         print()
         writer.flush()
         if (curr_epoch + 1) % cfg.save_epochs == 0:
-            path = save_checkpoint(ckpt_root, curr_epoch + 1, state)
+            path = save_checkpoint(
+                ckpt_root, curr_epoch + 1, state,
+                async_save=cfg.async_ckpt, keep=cfg.keep_checkpoints,
+            )
             print(f"Saved checkpoint to {path}")
+    if cfg.async_ckpt:
+        from infodiffusion_tpu.train.checkpoint import wait_for_saves
+
+        wait_for_saves()
     writer.close()
     return state
 

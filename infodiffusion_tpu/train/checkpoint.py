@@ -39,19 +39,79 @@ def _path(root: str, epoch: int) -> str:
     return os.path.join(root, f"model-{epoch}")
 
 
-def save_checkpoint(root: str, epoch: int, state: TrainState) -> str:
+# one async checkpointer per process: successive async saves must queue
+# behind each other (Orbax allows one in-flight save per checkpointer)
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _get_async_ckptr() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Barrier for in-flight async checkpoint writes (call at train end
+    and before a preemption exit)."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def save_checkpoint(
+    root: str,
+    epoch: int,
+    state: TrainState,
+    *,
+    async_save: bool = False,
+    keep: Optional[int] = None,
+) -> str:
+    """Write the full train state to ``root/model-{epoch}``.
+
+    ``async_save``: device->host copy happens synchronously (so donated
+    buffers of the next step can't corrupt it), persistence continues in
+    the background — the train loop keeps stepping during the write.
+    ``keep``: retention — delete all but the newest ``keep`` epochs
+    after saving (the reference keeps every weights file; production
+    runs at save_epochs=1 want a bound).
+    """
     path = _path(root, epoch)
-    ckptr = ocp.StandardCheckpointer()
-    if jax.process_count() > 1:
-        # multi-host: every process calls save with the global jax.Arrays
-        # and Orbax coordinates the collective write (device_get would
-        # raise on shards spanning non-addressable devices, and per-host
-        # numpy saves would race on the same path)
+    if async_save:
+        ckptr = _get_async_ckptr()
+        ckptr.wait_until_finished()  # at most one save in flight
+    else:
+        ckptr = ocp.StandardCheckpointer()
+    if jax.process_count() > 1 or async_save:
+        # global jax.Arrays straight to Orbax: multi-host saves must be
+        # collective (device_get raises on non-addressable shards), and
+        # async saves need Orbax's own sync snapshot of device memory
         ckptr.save(path, state, force=True)
     else:
         ckptr.save(path, jax.device_get(state), force=True)
-    ckptr.wait_until_finished()
+    if not async_save:
+        ckptr.wait_until_finished()
+    if keep is not None:
+        _apply_retention(root, keep, current=epoch)
     return path
+
+
+def _apply_retention(root: str, keep: int, current: int) -> None:
+    """Delete all but the newest ``keep`` checkpoint epochs under root.
+    ``current`` (the epoch just saved) counts even though an async write
+    may not have materialized its directory yet; it is never deleted."""
+    import shutil
+
+    if jax.process_index() != 0:
+        return
+    epochs = {current}
+    for name in os.listdir(root) if os.path.isdir(root) else []:
+        m = re.fullmatch(r"model-(\d+)", name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            epochs.add(int(m.group(1)))
+    doomed = sorted(epochs)[:-keep] if keep > 0 else []
+    for e in doomed:
+        if e != current:
+            shutil.rmtree(os.path.join(root, f"model-{e}"), ignore_errors=True)
 
 
 def latest_checkpoint_epoch(root: str) -> Optional[int]:

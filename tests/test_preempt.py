@@ -62,3 +62,12 @@ def test_sigterm_sets_preempt_flag():
     finally:
         signal.signal(signal.SIGTERM, prev)
         runner._PREEMPTED.clear()
+
+
+def test_async_ckpt_and_retention_via_cli(workdir):
+    root = "models/mnist_8d_0.1mmd_latent"
+    dispatch(_latent_cfg([
+        "--save_epochs", "1", "--async_ckpt", "--keep_checkpoints", "1",
+    ]))
+    kept = sorted(d for d in os.listdir(root) if d.startswith("model-"))
+    assert kept == ["model-3"]

@@ -333,3 +333,29 @@ def test_make_mesh_rejects_nondividing_tp():
 
     with pytest.raises(ValueError, match="--tp"):
         make_mesh(8, model_parallel=3)
+
+
+def test_async_checkpoint_roundtrip_and_retention(setup, tmp_path):
+    from infodiffusion_tpu.train.checkpoint import (
+        save_checkpoint as save, wait_for_saves,
+    )
+
+    _model, x, _tx, state, step = setup
+    root = str(tmp_path / "ckpt_async")
+    for epoch in (1, 2, 3):
+        state, _ = step(state, x, 0)
+        save(root, epoch, state, async_save=True, keep=2)
+    wait_for_saves()
+    # retention kept the newest two (2 was pruned when 3 landed, after
+    # the in-flight write barrier on the next save)
+    import os
+
+    kept = sorted(d for d in os.listdir(root) if d.startswith("model-"))
+    assert "model-3" in kept and "model-1" not in kept
+    assert latest_checkpoint_epoch(root) == 3
+    restored = restore_checkpoint(root, 3, state)
+    assert int(restored.step) == int(state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
