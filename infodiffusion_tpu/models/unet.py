@@ -107,8 +107,12 @@ class _UNetSkeleton(nn.Module):
         for i, mult in reversed(list(enumerate(self.ch_mult))):
             out_c = self.ch * mult
             for _ in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = block(h, out_c, i in self.attn, "up")
+                # skip-concat passed as PIECES: the block concatenates for
+                # conv/shortcut, but computes norm1's GN stats per piece so
+                # XLA fuses them into each piece's producer instead of a
+                # standalone HBM pass over the concat (ops/norm.py,
+                # STATUS.md roofline attribution)
+                h = block((h, hs.pop()), out_c, i in self.attn, "up")
                 now_ch = out_c
             if i != 0:
                 h = UpSample(self.dtype, name=f"up_{i}")(h)

@@ -38,13 +38,28 @@ def _conv3(features: int, dtype, name: str, strides: int = 1) -> nn.Conv:
     )
 
 
+def _norm1_input(x):
+    """Blocks accept ``x`` as one array or a tuple of not-yet-concatenated
+    pieces (the UNet skip-concat). Returns (norm_input, x_concat): the
+    norm gets the pieces so GN stats fuse into each piece's producer
+    (ops.norm._gn_stats_from_pieces); everything else (shortcut,
+    residual) uses the concat."""
+    if isinstance(x, (tuple, list)):
+        return x, jnp.concatenate(list(x), axis=-1)
+    return x, x
+
+
 class _GNParams(nn.Module):
     """Bare GroupNorm scale/bias params; the math lives in ops.norm so the
     FiLM-fused variant can reuse the same parameters."""
 
     @nn.compact
     def __call__(self, x, films=()):
-        C = x.shape[-1]
+        C = (
+            sum(p.shape[-1] for p in x)
+            if isinstance(x, (tuple, list))
+            else x.shape[-1]
+        )
         scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
         bias = self.param("bias", zeros, (C,), jnp.float32)
         if films:
@@ -75,8 +90,9 @@ class ResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
+        norm_in, x = _norm1_input(x)
         in_ch = x.shape[-1]
-        h = _GNParams(name="norm1")(x)
+        h = _GNParams(name="norm1")(norm_in)
         h = nn.silu(h)
         h = _conv3(self.out_ch, self.dtype, "conv1")(h)
 
@@ -125,8 +141,9 @@ class AuxResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
+        norm_in, x = _norm1_input(x)
         in_ch = x.shape[-1]
-        h = _GNParams(name="norm1")(x)
+        h = _GNParams(name="norm1")(norm_in)
         h = nn.silu(h)
         h = _conv3(self.out_ch, self.dtype, "conv1")(h)
 
@@ -176,8 +193,9 @@ class EncoderResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
+        norm_in, x = _norm1_input(x)
         in_ch = x.shape[-1]
-        h = _GNParams(name="norm1")(x)
+        h = _GNParams(name="norm1")(norm_in)
         h = nn.silu(h)
         h = _conv3(self.out_ch, self.dtype, "conv1")(h)
 

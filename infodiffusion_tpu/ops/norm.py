@@ -59,15 +59,77 @@ def _gn_stats(x: jnp.ndarray, num_groups: int) -> Tuple[jnp.ndarray, jnp.ndarray
     return mean, rstd
 
 
+def _gn_stats_from_pieces(
+    pieces: Sequence[jnp.ndarray], num_groups: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GroupNorm stats of ``concat(pieces, -1)`` computed from per-piece
+    per-channel spatial sums — same math as :func:`_gn_stats` (one-pass
+    E[x^2]-mean^2 in f32, reassociated), but each piece's reduction is a
+    consumer of that piece alone, so XLA fuses it into the piece's
+    PRODUCER fusion instead of emitting one standalone pass that re-reads
+    the whole concatenated tensor from HBM. On the flagship sampler the
+    level-0 upblock concat-input norms were the only stats not already
+    fused into a producer (35.8 ms/rep standalone reads — see STATUS.md
+    roofline attribution)."""
+    import os
+
+    B = pieces[0].shape[0]
+    C = sum(p.shape[-1] for p in pieces)
+    assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
+    if os.environ.get("INFODIFF_ABLATE_GN_STATS") == "1":
+        shape = (B, 1, num_groups, 1)
+        return jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32)
+    spatial_axes = tuple(range(1, pieces[0].ndim - 1))
+    n_spatial = 1
+    for ax in spatial_axes:
+        n_spatial *= pieces[0].shape[ax]
+    s1 = jnp.concatenate(
+        [jnp.sum(p.astype(jnp.float32), axis=spatial_axes) for p in pieces],
+        axis=-1,
+    )  # [B, C]
+    s2 = jnp.concatenate(
+        [
+            jnp.sum(jnp.square(p.astype(jnp.float32)), axis=spatial_axes)
+            for p in pieces
+        ],
+        axis=-1,
+    )
+    g1 = s1.reshape(B, num_groups, C // num_groups).sum(-1)
+    g2 = s2.reshape(B, num_groups, C // num_groups).sum(-1)
+    count = n_spatial * (C // num_groups)
+    mean = g1 / count
+    var = jnp.maximum(g2 / count - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    shape = (B, 1, num_groups, 1)
+    return mean.reshape(shape), rstd.reshape(shape)
+
+
+def _split_pieces(x):
+    """Norm entry points accept either one array or a tuple of pieces
+    (the not-yet-concatenated inputs of a skip-concat) -> (concat,
+    pieces-or-None)."""
+    if isinstance(x, (tuple, list)):
+        assert all(p.shape[:-1] == x[0].shape[:-1] for p in x)
+        return jnp.concatenate(list(x), axis=-1), list(x)
+    return x, None
+
+
 def group_norm(
-    x: jnp.ndarray,
+    x,
     num_groups: int,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Plain GroupNorm over the last axis of an NHWC (or [B, N, C]) tensor."""
+    """Plain GroupNorm over the last axis of an NHWC (or [B, N, C])
+    tensor, or of ``concat(x, -1)`` when ``x`` is a tuple of pieces
+    (stats then fuse into each piece's producer — see
+    :func:`_gn_stats_from_pieces`)."""
+    x, pieces = _split_pieces(x)
     B, C = x.shape[0], x.shape[-1]
-    mean, rstd = _gn_stats(x, num_groups)
+    if pieces is not None:
+        mean, rstd = _gn_stats_from_pieces(pieces, num_groups)
+    else:
+        mean, rstd = _gn_stats(x, num_groups)
     xf = x.astype(jnp.float32).reshape(B, -1, num_groups, C // num_groups)
     h = (xf - mean) * rstd
     h = h.reshape(x.shape)
@@ -76,7 +138,7 @@ def group_norm(
 
 
 def adagn(
-    x: jnp.ndarray,
+    x,
     num_groups: int,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
@@ -86,20 +148,23 @@ def adagn(
     order — one for ResBlock (time), two for AuxResBlock (time then aux)
     (reference: modules.py:247-258, 309-318).
 
-    x: [B, H, W, C] (or [B, N, C]); each (s, b) in ``films``: [B, C],
-    broadcast over the spatial axes.
+    x: [B, H, W, C] (or [B, N, C]), or a tuple of such pieces to
+    normalize their concat (see :func:`_gn_stats_from_pieces`); each
+    (s, b) in ``films``: [B, C], broadcast over the spatial axes.
     """
     if _use_pallas():
         from infodiffusion_tpu.ops.pallas.adagn import adagn_pallas
 
         try:
-            return adagn_pallas(x, num_groups, scale, bias, films)
+            xc, _ = _split_pieces(x)
+            return adagn_pallas(xc, num_groups, scale, bias, films)
         except NotImplementedError:
             pass
     h = group_norm(x, num_groups, scale, bias).astype(jnp.float32)
-    expand = (slice(None),) + (None,) * (x.ndim - 2) + (slice(None),)
+    ref = x[0] if isinstance(x, (tuple, list)) else x  # dtype/ndim only
+    expand = (slice(None),) + (None,) * (ref.ndim - 2) + (slice(None),)
     for s, b in films:
         s = s.astype(jnp.float32)[expand]
         b = b.astype(jnp.float32)[expand]
         h = h * (1.0 + s) + b
-    return h.astype(x.dtype)
+    return h.astype(ref.dtype)

@@ -84,3 +84,60 @@ def test_attention_matches_numpy():
     w = w / w.sum(-1, keepdims=True)
     want = np.einsum("bnm,bmc->bnc", w, v)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gn_stats_from_pieces_matches_concat():
+    """Per-piece per-channel-sum GN stats (the producer-fusable form used
+    for skip-concat norms) must match stats of the concatenated tensor —
+    same math, different reduction order (f32 reassociation only)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from infodiffusion_tpu.ops.norm import (
+        _gn_stats, _gn_stats_from_pieces, adagn, group_norm,
+    )
+
+    k1, k2 = jr.split(jr.PRNGKey(0))
+    a = jr.normal(k1, (4, 8, 8, 64), jnp.float32) * 1.7 + 0.3
+    b = jr.normal(k2, (4, 8, 8, 128), jnp.float32) * 0.6 - 1.1
+    cat = jnp.concatenate([a, b], axis=-1)
+    m1, r1 = _gn_stats(cat, 32)
+    m2, r2 = _gn_stats_from_pieces([a, b], 32)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-4)
+
+    scale = jnp.linspace(0.5, 1.5, 192)
+    bias = jnp.linspace(-0.1, 0.1, 192)
+    np.testing.assert_allclose(
+        np.asarray(group_norm((a, b), 32, scale, bias)),
+        np.asarray(group_norm(cat, 32, scale, bias)),
+        atol=2e-5,
+    )
+    films = [(jnp.ones((4, 192)) * 0.1, jnp.zeros((4, 192)))]
+    np.testing.assert_allclose(
+        np.asarray(adagn((a, b), 32, scale, bias, films)),
+        np.asarray(adagn(cat, 32, scale, bias, films)),
+        atol=2e-5,
+    )
+
+
+def test_blocks_accept_piece_tuples():
+    """A block fed (h, skip) pieces must equal the same block fed the
+    pre-concatenated input (identical params, identical output)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from infodiffusion_tpu.nn.blocks import ResBlock
+
+    h = jr.normal(jr.PRNGKey(0), (2, 8, 8, 64))
+    skip = jr.normal(jr.PRNGKey(1), (2, 8, 8, 128))
+    temb = jr.normal(jr.PRNGKey(2), (2, 256))
+    blk = ResBlock(out_ch=64)
+    cat = jnp.concatenate([h, skip], axis=-1)
+    v = blk.init({"params": jr.PRNGKey(3)}, cat, temb)
+    out_cat = blk.apply(v, cat, temb)
+    out_pieces = blk.apply(v, (h, skip), temb)
+    np.testing.assert_allclose(
+        np.asarray(out_pieces), np.asarray(out_cat), atol=2e-5
+    )
