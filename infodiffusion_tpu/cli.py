@@ -123,6 +123,10 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--two_phase_reference_quirk", action="store_true",
                    help="reproduce the reference two-phase sampler's "
                         "dead-branch bug (sampling.py:199-203)")
+    p.add_argument("--reverse_reference_quirk", action="store_true",
+                   help="reproduce the reference reverse_sampling bug "
+                        "that drops `a` and re-encodes the noisy sample "
+                        "each step (sampling.py:84-87)")
     return p
 
 

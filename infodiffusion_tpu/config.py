@@ -130,6 +130,13 @@ class Config:
     # t once, so phase 2's model runs the whole trajectory; sampling.py:199-203)
     # instead of the intended split-step behavior.
     two_phase_reference_quirk: bool = False
+    # Use the reference's quirky reverse_sampling semantics: its wrapper
+    # accepts `a` but never forwards it to the step generator
+    # (sampling.py:84-87), so InfoDiff re-encodes the CURRENT noisy
+    # sample at every reverse step instead of conditioning on the
+    # original image's latent. Default = the intended semantics
+    # (run.py:394 passes a explicitly).
+    reverse_reference_quirk: bool = False
 
     def __post_init__(self):
         if self.model not in MODELS:

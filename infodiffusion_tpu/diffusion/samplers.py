@@ -271,8 +271,37 @@ class DiffusionProcess:
             deterministic=self.cfg.deterministic,
         )
 
-    def _reverse_impl(self, params, x0, a):
-        return reverse_sample_loop(self._eps_fn(params), self.sched, x0, a)
+    def _reverse_impl(self, params, x0, a, key=None):
+        eps_fn = self._eps_fn(params)
+        if (
+            getattr(self.cfg, "reverse_reference_quirk", False)
+            and self.is_conditional
+        ):
+            # Reference quirk (sampling.py:84-87): reverse_sampling
+            # accepts `a` but never forwards it, so InfoDiff.forward
+            # re-encodes the CURRENT noisy sample at every step
+            # (models.py:708-710) — conditioning drifts with the
+            # trajectory. Reproduced here on request
+            # (--reverse_reference_quirk); the default implements the
+            # intended semantics (run.py:394 passes a explicitly).
+            model, mdl_cls = self.model, type(self.model)
+
+            def eps_fn(x, t, _a):
+                k = jr.fold_in(key, t[0])
+                a_det, a_q, _mu, _lv = model.apply(
+                    params, x, method=mdl_cls.encode,
+                    rngs={"reparam": k}, sample=True,
+                )
+                cond = model._route_latent(a_det, a_q)
+                return model.apply(params, x, t, cond)
+
+        return reverse_sample_loop(eps_fn, self.sched, x0, a)
+
+    def _needs_reverse_key(self):
+        return (
+            getattr(self.cfg, "reverse_reference_quirk", False)
+            and self.is_conditional
+        )
 
     def _strided_impl(self, params, xT, a, key, num_steps):
         return strided_ddim_loop(
@@ -296,8 +325,12 @@ class DiffusionProcess:
             return self._jit_strided(params, xT, a, k_s, num_steps=num_steps)
         return self._jit_sample(params, xT, a, k_s)
 
-    def reverse_sampling(self, x0, a=None):
-        return self._jit_reverse(self.params, x0, a)
+    def reverse_sampling(self, x0, a=None, key=None):
+        if key is None and self._needs_reverse_key():
+            # the quirk path's per-step a_q reparam draws need a key
+            # (the reference uses the torch global RNG there)
+            key = jr.PRNGKey(self.cfg.r_seed)
+        return self._jit_reverse(self.params, x0, a, key)
 
 
 class TwoPhaseDiffusionProcess:

@@ -24,6 +24,7 @@ from flax import linen as nn
 from infodiffusion_tpu.nn.initializers import DEFAULT_KERNEL, zeros
 from infodiffusion_tpu.ops import adagn
 from infodiffusion_tpu.ops.norm import group_norm as gn_op
+from infodiffusion_tpu.ops.norm import group_norm_pieces as gn_pieces_op
 
 _GROUPS = 32
 
@@ -38,20 +39,88 @@ def _conv3(features: int, dtype, name: str, strides: int = 1) -> nn.Conv:
     )
 
 
-def _norm1_input(x):
+def _as_pieces(x):
     """Blocks accept ``x`` as one array or a tuple of not-yet-concatenated
-    pieces (the UNet skip-concat). Returns (norm_input, x_concat): the
-    norm gets the pieces so GN stats fuse into each piece's producer
-    (ops.norm._gn_stats_from_pieces); everything else (shortcut,
-    residual) uses the concat."""
+    pieces (the UNet skip-concat). Returns (pieces-or-None, in_ch). When
+    pieces are given the whole block runs CONCAT-FREE: GN stats come from
+    per-piece sums (fused into each piece's producer), normalization is
+    per piece, and conv1/shortcut distribute over the channel concat with
+    sliced kernels — the concatenated tensor never hits HBM."""
     if isinstance(x, (tuple, list)):
-        return x, jnp.concatenate(list(x), axis=-1)
-    return x, x
+        return list(x), sum(p.shape[-1] for p in x)
+    return None, x.shape[-1]
+
+
+class _PieceConv3(nn.Module):
+    """3x3 conv over ``concat(pieces, -1)`` computed as a sum of per-piece
+    convs with input-channel-sliced kernels — exact same math (conv is
+    linear in input channels; f32/bf16 reassociation only) and the exact
+    same param tree as ``nn.Conv`` (kernel [3,3,Cin,Cout] + bias), so
+    checkpoints are interchangeable with the concat form."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pieces):
+        import jax
+
+        cin = sum(p.shape[-1] for p in pieces)
+        kernel = self.param(
+            "kernel", DEFAULT_KERNEL, (3, 3, cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        (kernel, bias, *pieces) = nn.dtypes.promote_dtype(
+            kernel, bias, *pieces, dtype=self.dtype
+        )
+        out = None
+        o = 0
+        for p in pieces:
+            c = p.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                p,
+                kernel[:, :, o : o + c, :],
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = y if out is None else out + y
+            o += c
+        return out + bias
+
+
+class _PieceDense(nn.Module):
+    """Dense over ``concat(pieces, -1)`` as a sum of per-piece matmuls
+    with row-sliced kernels; param tree identical to ``nn.Dense``."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pieces):
+        cin = sum(p.shape[-1] for p in pieces)
+        kernel = self.param(
+            "kernel", DEFAULT_KERNEL, (cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        (kernel, bias, *pieces) = nn.dtypes.promote_dtype(
+            kernel, bias, *pieces, dtype=self.dtype
+        )
+        out = None
+        o = 0
+        for p in pieces:
+            c = p.shape[-1]
+            y = p @ kernel[o : o + c, :]
+            out = y if out is None else out + y
+            o += c
+        return out + bias
 
 
 class _GNParams(nn.Module):
     """Bare GroupNorm scale/bias params; the math lives in ops.norm so the
-    FiLM-fused variant can reuse the same parameters."""
+    FiLM-fused variant can reuse the same parameters. Given a tuple of
+    pieces (norm1 under a skip-concat) it returns normalized PIECES
+    (ops.norm.group_norm_pieces) so the concat never materializes."""
 
     @nn.compact
     def __call__(self, x, films=()):
@@ -62,9 +131,40 @@ class _GNParams(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
         bias = self.param("bias", zeros, (C,), jnp.float32)
+        if isinstance(x, (tuple, list)) and not films:
+            return gn_pieces_op(x, _GROUPS, scale, bias)
         if films:
             return adagn(x, _GROUPS, scale, bias, films)
         return gn_op(x, _GROUPS, scale, bias)
+
+
+def _stage1(x, out_ch, dtype):
+    """norm1 -> SiLU -> conv1, shared by every ResBlock variant; runs
+    concat-free when ``x`` is a tuple of skip-concat pieces. Called from
+    inside a compact ``__call__`` so submodules attach to the caller.
+    Returns (h, pieces_or_None, in_ch)."""
+    pieces, in_ch = _as_pieces(x)
+    h = _GNParams(name="norm1")(pieces if pieces is not None else x)
+    if pieces is not None:
+        h = _PieceConv3(out_ch, dtype, name="conv1")([nn.silu(p) for p in h])
+    else:
+        h = _conv3(out_ch, dtype, "conv1")(nn.silu(h))
+    return h, pieces, in_ch
+
+
+def _residual_input(x, pieces, in_ch, out_ch, dtype):
+    """The shortcut branch: 1x1 projection on channel change (as a sum of
+    per-piece matmuls when concat-free), identity otherwise."""
+    if in_ch != out_ch:
+        if pieces is not None:
+            return _PieceDense(out_ch, dtype, name="shortcut")(pieces)
+        return nn.Dense(
+            out_ch, kernel_init=DEFAULT_KERNEL, bias_init=zeros,
+            dtype=dtype, name="shortcut",
+        )(x)
+    if pieces is not None:
+        return jnp.concatenate(pieces, axis=-1)
+    return x
 
 
 def _film_proj(tdim_in, out_ch, dtype, name):
@@ -90,11 +190,7 @@ class ResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        norm_in, x = _norm1_input(x)
-        in_ch = x.shape[-1]
-        h = _GNParams(name="norm1")(norm_in)
-        h = nn.silu(h)
-        h = _conv3(self.out_ch, self.dtype, "conv1")(h)
+        h, pieces, in_ch = _stage1(x, self.out_ch, self.dtype)
 
         t = _film_proj(temb.shape[-1], self.out_ch, self.dtype, "temb_proj")(
             nn.silu(temb)
@@ -110,12 +206,7 @@ class ResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv3")(h)
 
-        if in_ch != self.out_ch:
-            x = nn.Dense(
-                self.out_ch, kernel_init=DEFAULT_KERNEL, bias_init=zeros,
-                dtype=self.dtype, name="shortcut",
-            )(x)
-        h = h + x
+        h = h + _residual_input(x, pieces, in_ch, self.out_ch, self.dtype)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -141,11 +232,7 @@ class AuxResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        norm_in, x = _norm1_input(x)
-        in_ch = x.shape[-1]
-        h = _GNParams(name="norm1")(norm_in)
-        h = nn.silu(h)
-        h = _conv3(self.out_ch, self.dtype, "conv1")(h)
+        h, pieces, in_ch = _stage1(x, self.out_ch, self.dtype)
 
         t = _film_proj(temb.shape[-1], self.out_ch, self.dtype, "temb_proj")(
             nn.silu(temb)
@@ -169,12 +256,7 @@ class AuxResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv3")(h)
 
-        if in_ch != self.out_ch:
-            x = nn.Dense(
-                self.out_ch, kernel_init=DEFAULT_KERNEL, bias_init=zeros,
-                dtype=self.dtype, name="shortcut",
-            )(x)
-        h = h + x
+        h = h + _residual_input(x, pieces, in_ch, self.out_ch, self.dtype)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -193,23 +275,14 @@ class EncoderResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        norm_in, x = _norm1_input(x)
-        in_ch = x.shape[-1]
-        h = _GNParams(name="norm1")(norm_in)
-        h = nn.silu(h)
-        h = _conv3(self.out_ch, self.dtype, "conv1")(h)
+        h, pieces, in_ch = _stage1(x, self.out_ch, self.dtype)
 
         h = _GNParams(name="norm2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv2")(h)
 
-        if in_ch != self.out_ch:
-            x = nn.Dense(
-                self.out_ch, kernel_init=DEFAULT_KERNEL, bias_init=zeros,
-                dtype=self.dtype, name="shortcut",
-            )(x)
-        h = h + x
+        h = h + _residual_input(x, pieces, in_ch, self.out_ch, self.dtype)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -225,14 +298,79 @@ class DownSample(nn.Module):
         return _conv3(x.shape[-1], self.dtype, "conv", strides=2)(x)
 
 
+class _SubpixelUpConv(nn.Module):
+    """``nearest x2 then conv3x3`` computed WITHOUT materializing the
+    4x-size upsampled tensor: each of the four output phases (di, dj)
+    reads a 2x2 window of the ORIGINAL tensor, with a 2x2 kernel whose
+    entries are sums of the 3x3 kernel's rows/columns that collapse onto
+    the same source pixel under nearest-neighbor duplication. Exactly the
+    same math (kernel-entry re-association only), 4 taps instead of 9
+    (2.25x fewer FLOPs), and no 4x HBM round-trip. Param tree identical
+    to the ``nn.Conv`` it replaces (kernel [3,3,C,C] + bias)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        B, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", DEFAULT_KERNEL, (3, 3, C, self.features), jnp.float32
+        )
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        (kernel, bias, x) = nn.dtypes.promote_dtype(
+            kernel, bias, x, dtype=self.dtype
+        )
+        # Row collapse: phase di=0 reads source rows (i-1, i) with weights
+        # (W[0], W[1]+W[2]); di=1 reads (i, i+1) with (W[0]+W[1], W[2]).
+        # Columns are analogous. Padding puts the out-of-range source
+        # pixel at zero, matching the zero padding of the upsampled conv.
+        rows = {
+            0: (jnp.stack([kernel[0], kernel[1] + kernel[2]]), (1, 0)),
+            1: (jnp.stack([kernel[0] + kernel[1], kernel[2]]), (0, 1)),
+        }
+        phases = []
+        for di in (0, 1):
+            kr, pad_r = rows[di]
+            cols = {
+                0: (jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1), (1, 0)),
+                1: (jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1), (0, 1)),
+            }
+            prow = []
+            for dj in (0, 1):
+                kc, pad_c = cols[dj]
+                prow.append(
+                    jax.lax.conv_general_dilated(
+                        x, kc, (1, 1), (pad_r, pad_c),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                )
+            phases.append(jnp.stack(prow, axis=3))  # [B,H,W,2,F]
+        y = jnp.stack(phases, axis=2)  # [B,H,2,W,2,F]
+        return y.reshape(B, 2 * H, 2 * W, self.features) + bias
+
+
 class UpSample(nn.Module):
-    """Nearest x2 then 3x3 conv (reference: modules.py:78-93)."""
+    """Nearest x2 then 3x3 conv (reference: modules.py:78-93).
+
+    ``INFODIFF_SUBPIXEL_UPSAMPLE=1`` opts into the subpixel-decomposed
+    form (same params, same math, 2.25x fewer FLOPs — see
+    :class:`_SubpixelUpConv`). MEASURED SLOWER on v5e (78.7 vs 79.7
+    DDIM-100 samples/s): XLA maps the one big conv over the materialized
+    upsampled tensor better than four small-kernel convs + interleave,
+    so the literal form stays the default."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         B, H, W, C = x.shape
+        if os.environ.get("INFODIFF_SUBPIXEL_UPSAMPLE") == "1":
+            return _SubpixelUpConv(C, self.dtype, name="conv")(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return _conv3(C, self.dtype, "conv")(x)
 

@@ -104,6 +104,44 @@ def _gn_stats_from_pieces(
     return mean.reshape(shape), rstd.reshape(shape)
 
 
+def group_norm_pieces(
+    pieces: Sequence[jnp.ndarray],
+    num_groups: int,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+):
+    """GroupNorm of ``concat(pieces, -1)`` returned as UN-concatenated
+    normalized pieces. Combined with convs that distribute over the
+    channel concat (``conv(concat(a,b), W) = conv(a, W_a) + conv(b, W_b)``,
+    see nn/blocks.py piece convs), the concatenated tensor never
+    materializes in HBM at all: stats fuse into each piece's producer
+    (:func:`_gn_stats_from_pieces`), normalization is elementwise per
+    piece, and each downstream conv reads the pieces directly. Piece
+    channel boundaries need not align with group boundaries — group stats
+    are broadcast to a per-channel vector first."""
+    pieces = list(pieces)
+    assert all(p.shape[:-1] == pieces[0].shape[:-1] for p in pieces)
+    B = pieces[0].shape[0]
+    C = sum(p.shape[-1] for p in pieces)
+    mean, rstd = _gn_stats_from_pieces(pieces, num_groups)  # [B,1,G,1]
+    gsize = C // num_groups
+    mean_c = jnp.repeat(mean.reshape(B, num_groups), gsize, axis=-1)  # [B,C]
+    rstd_c = jnp.repeat(rstd.reshape(B, num_groups), gsize, axis=-1)
+    lead = (B,) + (1,) * (pieces[0].ndim - 2)
+    out = []
+    o = 0
+    for p in pieces:
+        c = p.shape[-1]
+        m = mean_c[:, o : o + c].reshape(lead + (c,))
+        r = rstd_c[:, o : o + c].reshape(lead + (c,))
+        s = scale[o : o + c].astype(jnp.float32)
+        b = bias[o : o + c].astype(jnp.float32)
+        h = (p.astype(jnp.float32) - m) * r * s + b
+        out.append(h.astype(p.dtype))
+        o += c
+    return out
+
+
 def _split_pieces(x):
     """Norm entry points accept either one array or a tuple of pieces
     (the not-yet-concatenated inputs of a skip-concat) -> (concat,

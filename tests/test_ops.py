@@ -95,6 +95,7 @@ def test_gn_stats_from_pieces_matches_concat():
 
     from infodiffusion_tpu.ops.norm import (
         _gn_stats, _gn_stats_from_pieces, adagn, group_norm,
+        group_norm_pieces,
     )
 
     k1, k2 = jr.split(jr.PRNGKey(0))
@@ -118,6 +119,38 @@ def test_gn_stats_from_pieces_matches_concat():
         np.asarray(adagn((a, b), 32, scale, bias, films)),
         np.asarray(adagn(cat, 32, scale, bias, films)),
         atol=2e-5,
+    )
+    # concat-free form: normalized pieces, re-concatenated == concat GN.
+    # Piece widths (64, 128) deliberately MISalign with the 6-channel
+    # groups of 192/32 to exercise the per-channel stat broadcast.
+    got = jnp.concatenate(
+        group_norm_pieces([a, b], 32, scale, bias), axis=-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(group_norm(cat, 32, scale, bias)),
+        atol=2e-5,
+    )
+
+
+def test_subpixel_upsample_matches_naive(monkeypatch):
+    """The subpixel-decomposed UpSample (4 phase convs, 2x2 kernels) must
+    equal the literal nearest-x2-then-conv3x3 with identical params —
+    same math, kernel entries re-associated."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from infodiffusion_tpu.nn.blocks import UpSample
+
+    x = jr.normal(jr.PRNGKey(0), (2, 5, 7, 32))
+    up = UpSample()
+    v = up.init(jr.PRNGKey(1), x)
+    naive = up.apply(v, x)
+    monkeypatch.setenv("INFODIFF_SUBPIXEL_UPSAMPLE", "1")
+    fast = up.apply(v, x)
+    assert fast.shape == (2, 10, 14, 32)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(naive), atol=2e-5
     )
 
 

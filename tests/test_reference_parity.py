@@ -1,0 +1,373 @@
+"""Cross-implementation parity: load the SAME weights into the actual
+PyTorch reference implementation (imported read-only from
+/root/reference; override with INFODIFF_REFERENCE_DIR) and into this
+framework, then compare full-model forwards and a full reverse-DDIM
+trajectory. These tests are the strongest parity guard we have — every
+block, init-layout assumption, and schedule constant must line up for a
+35M-parameter forward to agree to f32 roundoff. Skipped when the
+reference checkout (or torch) is unavailable.
+
+Reference entry points exercised: InfoDiff.forward eval path
+(models.py:698-723), Encoder.forward (models.py:488-518), Diff.forward
+image+latent (models.py:764-779), VAE.forward (models.py:822-833),
+DiffusionProcess._ddim_one_reverse_diffusion_step (sampling.py:62-73).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("INFODIFF_REFERENCE_DIR", "/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(os.path.join(REF, "models.py")),
+    reason="reference implementation not available",
+)
+
+T = 10
+A_DIM = 8
+SIZE = 32
+CH = 32
+B = 2
+
+
+@pytest.fixture(scope="module")
+def ref():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REF)
+    try:
+        import models as ref_models  # noqa: F401  (resolves inside REF)
+        import sampling as ref_sampling
+    finally:
+        sys.path.remove(REF)
+    torch.manual_seed(0)
+    return types.SimpleNamespace(
+        models=ref_models, sampling=ref_sampling, torch=torch
+    )
+
+
+def _args(**over):
+    base = dict(
+        beta1=1e-5, betaT=1e-2, diffusion_steps=T, input_size=SIZE,
+        is_bottleneck=False, unets_channels=CH, encoder_channels=CH,
+        a_dim=A_DIM, mmd_weight=0.1, kld_weight=0.0, prior="regular",
+        batch_size=B, epochs=2, use_C=False, C_max=25.0, is_latent=False,
+        mode="train", model="diff", deterministic=True,
+    )
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+def _sd(ref_model):
+    return {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()}
+
+
+def _nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+RNGS = None
+
+
+def _rngs():
+    import jax.random as jr
+
+    return {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+            "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)}
+
+
+def _load(model, init_fn, sd):
+    """Init our model and overwrite every param from the reference
+    state_dict (non-strict: the reference carries dead CrossAttn keys)."""
+    from infodiffusion_tpu.interop import load_torch_state_dict
+
+    v = init_fn()
+    params = load_torch_state_dict(model, v["params"], sd, strict=False)
+    return {**v, "params": params}
+
+
+def test_infodiff_forward_matches_reference(ref):
+    """Same weights, same (x, idx, a) -> same eps prediction, through the
+    full AuxiliaryUNet (head/down/middle/up/tail, AdaGN dual FiLM,
+    attention, time embedding)."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args()
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                     unets_channels=CH, encoder_channels=CH, epochs=2,
+                     mmd_weight=0.1, kld_weight=0.0)
+    x_j = jnp.zeros((B, SIZE, SIZE, 1))
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    a = rng.randn(B, A_DIM).astype(np.float32)
+    idx = 3
+    with torch.no_grad():
+        want = rm.forward(torch.from_numpy(x), idx=idx,
+                          a=torch.from_numpy(a)).numpy()
+    got = model.apply(
+        {"params": v["params"]},
+        jnp.asarray(_nhwc(x)), jnp.full((B,), idx), jnp.asarray(a),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_encoder_matches_reference(ref):
+    """Encoder (full UNet with skips -> 1ch tail -> fc_a/fc_mu/fc_var):
+    deterministic outputs a, mu, log_var agree."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args()
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                     unets_channels=CH, encoder_channels=CH, epochs=2)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+
+    x = np.random.RandomState(1).randn(B, 1, SIZE, SIZE).astype(np.float32)
+    with torch.no_grad():
+        a_t, _, mu_t, lv_t = rm.encoder(torch.from_numpy(x))
+    a_j, _, mu_j, lv_j = model.apply(
+        {"params": v["params"]}, jnp.asarray(_nhwc(x)),
+        method=InfoDiff.encode, sample=False,
+    )
+    np.testing.assert_allclose(a_t.numpy(), np.asarray(a_j), atol=5e-4)
+    np.testing.assert_allclose(mu_t.numpy(), np.asarray(mu_j), atol=5e-4)
+    np.testing.assert_allclose(lv_t.numpy(), np.asarray(lv_j), atol=5e-4)
+
+
+def test_vanilla_unet_matches_reference(ref):
+    """The reference's image UNet cannot even be constructed as-is: its
+    middle blocks pass ``crossattn=False`` to a ResBlock whose __init__
+    has no such parameter (models.py:31-33 vs modules.py:207) — the
+    vanilla/two-phase image path crashes upstream (PARITY.md D14). Shim
+    the kwarg away test-locally so the weight/structure parity of every
+    OTHER piece can still be validated against torch."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import Diff
+
+    torch = ref.torch
+    args = _args(model="vanilla")
+
+    orig = ref.models.ResBlock
+
+    class _Shim(orig):
+        def __init__(self, *a, crossattn=False, **k):
+            orig.__init__(self, *a, **k)
+
+    ref.models.ResBlock = _Shim
+    try:
+        rm = ref.models.Diff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+    finally:
+        ref.models.ResBlock = orig
+
+    model = Diff(T=T, shape=(1, SIZE, SIZE), unets_channels=CH)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+    x = np.random.RandomState(2).randn(B, 1, SIZE, SIZE).astype(np.float32)
+    idx = 7
+    with torch.no_grad():
+        want = rm.forward(torch.from_numpy(x), idx=idx).numpy()
+    got = model.apply(
+        {"params": v["params"]}, jnp.asarray(_nhwc(x)), jnp.full((B,), idx),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_latent_unet_matches_reference(ref):
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import Diff
+
+    torch = ref.torch
+    args = _args(is_latent=True)
+    rm = ref.models.Diff(args, "cpu", shape=(1, A_DIM, A_DIM)).eval()
+
+    model = Diff(T=T, shape=(1, A_DIM, A_DIM), is_latent=True)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, A_DIM)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+    z = np.random.RandomState(3).randn(B, A_DIM).astype(np.float32)
+    idx = 4
+    with torch.no_grad():
+        want = rm.forward(torch.from_numpy(z), idx=idx).numpy()
+    got = model.apply(
+        {"params": v["params"]}, jnp.asarray(z), jnp.full((B,), idx),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(want, np.asarray(got), atol=5e-4, rtol=1e-3)
+
+
+def test_vae_matches_reference(ref):
+    """No-regularizer VAE decodes from the deterministic `a`
+    (models.py:826-827) -> fully deterministic reconstruction."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import VAE
+
+    torch = ref.torch
+    args = _args(mmd_weight=0.0, kld_weight=0.0, model="vae")
+    rm = ref.models.VAE(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = VAE(a_dim=A_DIM, shape=(1, SIZE, SIZE), encoder_channels=CH,
+                mmd_weight=0.0, kld_weight=0.0)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=VAE.loss_fn),
+        _sd(rm),
+    )
+    x = np.random.RandomState(4).randn(B, 1, SIZE, SIZE).astype(np.float32)
+    with torch.no_grad():
+        want = rm.forward(torch.from_numpy(x)).numpy()
+    import jax.random as jr
+
+    # the a_q reparam draw happens inside the encoder even though the
+    # no-regularizer VAE decodes from the deterministic `a`
+    rec, _, mu_j, lv_j = model.apply(
+        {"params": v["params"]}, jnp.asarray(_nhwc(x)), deterministic=True,
+        rngs={"reparam": jr.PRNGKey(9)},
+    )
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(rec), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_reverse_ddim_trajectory_matches_reference(ref):
+    """Full deterministic reverse-DDIM encoding x0 -> xT with the torch
+    reference model in the loop vs our lax.scan: the *intended*
+    semantics (a forwarded every step), driven via the reference's own
+    step generator `_ddim_one_reverse_diffusion_step(x, a)`
+    (sampling.py:167-174). The reference's public `reverse_sampling`
+    wrapper drops `a` (PARITY.md D13) — that quirk is covered by
+    test_samplers.py::test_reverse_requirk instead."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.diffusion.samplers import reverse_sample_loop
+    from infodiffusion_tpu.diffusion.schedule import make_schedule
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args()
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+    proc = ref.sampling.DiffusionProcess(args, rm, "cpu", (1, SIZE, SIZE))
+
+    model = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                     unets_channels=CH, encoder_channels=CH, epochs=2)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+
+    rng = np.random.RandomState(5)
+    x0 = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    a = rng.randn(B, A_DIM).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x0)
+        for xt in proc._ddim_one_reverse_diffusion_step(
+            xt, torch.from_numpy(a)
+        ):
+            pass
+        want = xt.numpy()
+
+    sched = make_schedule(1e-5, 1e-2, T)
+    params = v["params"]
+
+    def eps_fn(x, t, a_):
+        return model.apply({"params": params}, x, t, a_, deterministic=True)
+
+    got = reverse_sample_loop(eps_fn, sched, jnp.asarray(_nhwc(x0)),
+                              jnp.asarray(a))
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=2e-3, rtol=1e-3
+    )
+
+
+def test_reverse_requirk_matches_reference(ref):
+    """--reverse_reference_quirk reproduces the reference's PUBLIC
+    reverse_sampling wrapper, which drops `a` and re-encodes the current
+    noisy sample every step (sampling.py:84-87 -> models.py:708-710;
+    PARITY.md D13). With MMD-only routing the re-encoded conditioning is
+    the deterministic `a` — no RNG involved — so both implementations
+    are exactly comparable."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.diffusion.samplers import DiffusionProcess
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args()
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+    proc = ref.sampling.DiffusionProcess(args, rm, "cpu", (1, SIZE, SIZE))
+
+    model = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                     unets_channels=CH, encoder_channels=CH, epochs=2)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+
+    rng = np.random.RandomState(6)
+    x0 = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    a = rng.randn(B, A_DIM).astype(np.float32)
+    with torch.no_grad():
+        want = proc.reverse_sampling(
+            torch.from_numpy(x0), torch.from_numpy(a)
+        ).numpy()
+
+    cfg = types.SimpleNamespace(
+        model="diff", beta1=1e-5, betaT=1e-2, diffusion_steps=T,
+        deterministic=True, a_dim=A_DIM, sampling_steps=None, r_seed=0,
+        reverse_reference_quirk=True,
+    )
+    dp = DiffusionProcess(cfg, model, {"params": v["params"]},
+                          shape=(1, SIZE, SIZE))
+    got = dp.reverse_sampling(jnp.asarray(_nhwc(x0)), jnp.asarray(a))
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=2e-3, rtol=1e-3
+    )
+    # (No quirk-vs-intended difference assertion here: with a randomly
+    # initialized model the aux conditioning barely moves the output, so
+    # the two semantics agree to ~1e-6 — only a TRAINED encoder makes
+    # them diverge. The intended-semantics path is pinned against torch
+    # by test_reverse_ddim_trajectory_matches_reference above.)
