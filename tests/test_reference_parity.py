@@ -129,6 +129,42 @@ def test_infodiff_forward_matches_reference(ref):
     )
 
 
+def test_bottleneck_infodiff_forward_matches_reference(ref):
+    """--is_bottleneck variant: plain ResBlocks down/up, Aux only in the
+    middle, SiLU->Linear Kaiming fc_a (models.py:329-421)."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args(is_bottleneck=True)
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                     unets_channels=CH, encoder_channels=CH, epochs=2,
+                     is_bottleneck=True)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+    rng = np.random.RandomState(7)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    a = rng.randn(B, A_DIM).astype(np.float32)
+    with torch.no_grad():
+        want = rm.forward(torch.from_numpy(x), idx=5,
+                          a=torch.from_numpy(a)).numpy()
+    got = model.apply(
+        {"params": v["params"]},
+        jnp.asarray(_nhwc(x)), jnp.full((B,), 5), jnp.asarray(a),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_encoder_matches_reference(ref):
     """Encoder (full UNet with skips -> 1ch tail -> fc_a/fc_mu/fc_var):
     deterministic outputs a, mu, log_var agree."""
