@@ -301,18 +301,65 @@ def _load_celeba(cfg, mode: str) -> ImageFolderDataset:
     )
 
 
+def _render_dsprites(n: int, size: int, rng) -> ArrayDataset:
+    """Factor-DEPENDENT synthetic dsprites: binary images of a square /
+    ellipse / diamond whose scale and position are the ground-truth
+    factors, with the real dataset's 12-wide attr contract
+    (6 latents_values + 6 latents_classes; orientation is drawn but not
+    rendered — a nuisance factor). Unlike pure-noise fakes this makes
+    representation-learning validation meaningful: an encoder trained on
+    these CAN capture the factors (tests/test_learning.py)."""
+    shape_c = rng.randint(0, 3, n)
+    scale_c = rng.randint(0, 6, n)
+    orient_c = rng.randint(0, 40, n)
+    posx_c = rng.randint(0, 32, n)
+    posy_c = rng.randint(0, 32, n)
+    scale = 0.5 + scale_c / 5.0 * 0.5          # [0.5, 1], 6 steps
+    orient = orient_c / 39.0 * 2 * np.pi
+    posx = posx_c / 31.0
+    posy = posy_c / 31.0
+    g = (np.arange(size) + 0.5) / size
+    yy, xx = np.meshgrid(g, g, indexing="ij")
+    cx = (0.2 + 0.6 * posx)[:, None, None]
+    cy = (0.2 + 0.6 * posy)[:, None, None]
+    h = (0.14 * scale)[:, None, None]
+    dx = np.abs(xx[None] - cx)
+    dy = np.abs(yy[None] - cy)
+    masks = np.stack(
+        [
+            np.maximum(dx, dy) <= h,                 # square
+            dx * dx + dy * dy <= h * h,              # ellipse
+            dx + dy <= h,                            # diamond
+        ]
+    )
+    imgs = masks[shape_c, np.arange(n)].astype(np.uint8)[..., None]
+    vals = np.stack(
+        [np.ones(n), shape_c + 1.0, scale, orient, posx, posy], axis=1
+    )
+    classes = np.stack(
+        [np.zeros(n), shape_c, scale_c, orient_c, posx_c, posy_c], axis=1
+    ).astype(np.float64)
+    return ArrayDataset(
+        images=imgs,
+        attrs=np.concatenate([vals, classes], axis=1),
+        normalize="raw",  # same contract as the real loader (Q31)
+    )
+
+
 def _synthetic(cfg) -> ArrayDataset:
     """Deterministic fake data with the dataset's exact shape/attr
-    contract — for tests, benches and dry runs (no reference analog)."""
+    contract — for tests, benches and dry runs (no reference analog).
+    dsprites gets factor-dependent rendered sprites (see
+    :func:`_render_dsprites`); the others use noise images."""
     n = int(os.environ.get("INFODIFF_SYNTHETIC_N", "512"))
     rng = np.random.RandomState(0)
+    if cfg.dataset == "dsprites":
+        return _render_dsprites(n, cfg.input_size, rng)
     imgs = rng.randint(
         0, 256, size=(n, cfg.input_size, cfg.input_size, cfg.input_channels)
     ).astype(np.uint8)
     if cfg.dataset == "celeba":
         attrs = rng.randint(0, 2, size=(n, 40)).astype(np.int32)
-    elif cfg.dataset == "dsprites":
-        attrs = rng.rand(n, 12)
     else:
         attrs = rng.randint(0, 10, size=(n,)).astype(np.int32)
     return ArrayDataset(images=imgs, attrs=attrs)

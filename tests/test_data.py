@@ -76,6 +76,38 @@ def test_dataset_flags_table():
     assert dataset_flags("dsprites") == (False, True)
 
 
+def test_synthetic_dsprites_renders_factors():
+    """Synthetic dsprites images must DEPEND on their ground-truth
+    factors (factor-dependent sprites, not noise) with the real
+    dataset's 12-wide values+classes attr contract — this is what makes
+    the representation-learning validation meaningful
+    (tools/repr_learning_demo.py)."""
+    from infodiffusion_tpu.data.datasets import _render_dsprites
+
+    ds = _render_dsprites(64, 32, np.random.RandomState(0))
+    assert ds.images.shape == (64, 32, 32, 1)
+    assert ds.images.dtype == np.uint8
+    assert set(np.unique(ds.images)) <= {0, 1}
+    assert ds.attrs.shape == (64, 12)
+    assert ds.normalize == "raw"
+    vals = ds.attrs[:, :6]
+    assert np.all(vals[:, 0] == 1)                  # color
+    assert set(vals[:, 1]) <= {1.0, 2.0, 3.0}       # shape
+    assert vals[:, 2].min() >= 0.5 and vals[:, 2].max() <= 1.0  # scale
+    # position factors move the sprite: the x-center of mass must track
+    # posX (and same for y), i.e. pixels are a function of the factors
+    g = (np.arange(32) + 0.5) / 32
+    m = ds.images[..., 0].astype(np.float64)
+    com_x = (m * g[None, None, :]).sum((1, 2)) / m.sum((1, 2))
+    com_y = (m * g[None, :, None]).sum((1, 2)) / m.sum((1, 2))
+    assert np.corrcoef(com_x, vals[:, 4])[0, 1] > 0.95
+    assert np.corrcoef(com_y, vals[:, 5])[0, 1] > 0.95
+    # scale tracks sprite area within each shape class
+    area = m.sum((1, 2))
+    sq = vals[:, 1] == 1
+    assert np.corrcoef(area[sq], vals[sq, 2])[0, 1] > 0.9
+
+
 def test_dsprites_raw_normalization():
     ds = ArrayDataset(
         images=np.ones((4, 4, 4, 1), np.uint8), normalize="raw"
