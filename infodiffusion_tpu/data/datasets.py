@@ -308,7 +308,8 @@ def _render_dsprites(n: int, size: int, rng) -> ArrayDataset:
     (6 latents_values + 6 latents_classes; orientation is drawn but not
     rendered — a nuisance factor). Unlike pure-noise fakes this makes
     representation-learning validation meaningful: an encoder trained on
-    these CAN capture the factors (tests/test_learning.py)."""
+    these CAN capture the factors (tools/repr_learning_demo.py; contract
+    test in tests/test_data.py)."""
     shape_c = rng.randint(0, 3, n)
     scale_c = rng.randint(0, 6, n)
     orient_c = rng.randint(0, 40, n)

@@ -44,8 +44,11 @@ ATTR_TABLES = {
          "Orientation"],
         "c",
     ),
+    # dsprites' color factor is constant (always white): it carries no
+    # information and crashes the per-factor GBT, so the eval drops it
+    # (load_latents) and the names table matches
     "dsprites": (
-        ["Color", "Shape", "Scale", "Orientation", "PosX", "PosY"], "c"
+        ["Shape", "Scale", "Orientation", "PosX", "PosY"], "c"
     ),
 }
 
@@ -70,6 +73,12 @@ def load_latents(cfg: Config, dataset: str, npz_path: Optional[str] = None):
         y[:, 3] = y[:, 3] * 14 - 10.5
         y[:, 5] = y[:, 5] * 14 / 60 + 7
         y = y.astype(np.int64)
+    elif dataset == "dsprites":
+        # attrs ride along as [6 latents_values | 6 latents_classes]
+        # (data.py loader); DCI wants the discrete classes, minus the
+        # constant color factor (see ATTR_TABLES note)
+        a = all_a
+        y = all_attr[:, 7:].astype(np.int64)
     elif dataset == "ffhq":
         # reference reads labels from ffhq_labels.csv (columns 2+, first
         # 69952 rows; eval_disentanglement.py:397-401)

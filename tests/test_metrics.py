@@ -83,3 +83,46 @@ def test_pred_metric_linear_auroc():
     pm = PredMetric("Linear", "b")
     res = pm.evaluate(a[:300], y[:300], a[300:], y[300:])
     assert res["Linear_avg_result"] > 0.95
+
+
+def test_dsprites_eval_protocol(tmp_path, monkeypatch):
+    """--dataset dsprites path of the disentanglement CLI: labels come
+    from the latents_classes half of the attr block, the constant color
+    factor is dropped (names table matches), and latents that encode
+    the factors perfectly score near-ceiling DCI."""
+    from infodiffusion_tpu.eval_disentanglement import (
+        ATTR_TABLES, evaluate_latents, load_latents,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 400
+    classes = np.stack(
+        [
+            np.zeros(n),                      # color: constant
+            rng.randint(0, 3, n),             # shape
+            rng.randint(0, 6, n),             # scale
+            rng.randint(0, 40, n),            # orientation
+            rng.randint(0, 32, n),            # posX
+            rng.randint(0, 32, n),            # posY
+        ],
+        axis=1,
+    )
+    vals = classes.astype(np.float64)
+    attrs = np.concatenate([vals, classes], axis=1)
+    # latents = one factor per dim (perfectly disentangled) + noise dims
+    a = np.concatenate(
+        [classes[:, 1:].astype(np.float64), rng.randn(n, 3)], axis=1
+    )
+    path = str(tmp_path / "diff_x_latent.npz")
+    np.savez(path, all_a=a, all_attr=attrs)
+
+    la, y = load_latents(None, "dsprites", npz_path=path)
+    assert y.shape == (n, 5)                      # color dropped
+    assert len(ATTR_TABLES["dsprites"][0]) == 5   # names match
+    out = evaluate_latents(la, y, "dsprites", verbose=False)
+    dci_mean, _dci_std = out["dci"]
+    assert dci_mean > 0.8                         # near-ceiling
+    acc_mean, _ = out["linear_probe"]
+    # mean over factors incl. 40-class orientation with only 320 train
+    # rows — well above the ~0.1 chance mean but not near 1
+    assert acc_mean > 0.4
