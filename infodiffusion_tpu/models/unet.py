@@ -68,23 +68,37 @@ class _UNetSkeleton(nn.Module):
         det = deterministic
         n = [0]  # running index for unique, order-stable module names
 
+        # INFODIFF_REMAT=1 wraps each ResBlock in jax.checkpoint: the
+        # backward recomputes block activations instead of reading them
+        # back from HBM — a throughput EXPERIMENT knob (the train
+        # backward is ~38% HBM-bound per the xprof attribution), not a
+        # memory necessity at this model scale.
+        import os
+
+        remat = os.environ.get("INFODIFF_REMAT") == "1"
+
+        def _cls(c, det_argnum):
+            # deterministic is passed positionally and marked static so
+            # jax.checkpoint doesn't try to trace the Python bool
+            return nn.remat(c, static_argnums=(det_argnum,)) if remat else c
+
         def block(h, out_c, use_attn, kind):
             name = f"{kind}block_{n[0]}"
             n[0] += 1
             if kind in ("down", "up", "middle"):
                 mode = self.aux_mode
                 if mode == "encoder":
-                    return EncoderResBlock(
+                    return _cls(EncoderResBlock, 2)(
                         out_c, self.dropout, use_attn, self.dtype, name=name
-                    )(h, deterministic=det)
+                    )(h, det)
                 aux_here = mode == "all" or (mode == "bottleneck" and kind == "middle")
                 if aux_here:
-                    return AuxResBlock(
+                    return _cls(AuxResBlock, 4)(
                         out_c, self.dropout, use_attn, self.dtype, name=name
-                    )(h, temb, aemb, deterministic=det)
-                return ResBlock(
+                    )(h, temb, aemb, det)
+                return _cls(ResBlock, 3)(
                     out_c, self.dropout, use_attn, self.dtype, name=name
-                )(h, temb, deterministic=det)
+                )(h, temb, det)
             raise ValueError(kind)
 
         h = _conv3(self.ch, self.dtype, "head")(x)

@@ -186,7 +186,7 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True
+        self, x: jnp.ndarray, temb: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
@@ -227,7 +227,6 @@ class AuxResBlock(nn.Module):
         x: jnp.ndarray,
         temb: jnp.ndarray,
         aemb: jnp.ndarray,
-        *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
@@ -272,7 +271,7 @@ class EncoderResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
         h, pieces, in_ch = _stage1(x, self.out_ch, self.dtype)
