@@ -218,6 +218,30 @@ def _shard_for_mesh(mesh, params, batch_arrays):
     return params, batch_arrays
 
 
+def _requirk_eps_fn(model, params, key, r_seed):
+    """eps_fn reproducing the reference's reverse_sampling bug
+    (--reverse_reference_quirk, PARITY.md D13): every reverse-sampling
+    wrapper in the reference drops `a` (sampling.py:84-87 and the
+    two-phase one at sampling.py:183-188), so InfoDiff.forward
+    re-encodes the CURRENT noisy sample at every step
+    (models.py:708-710) — conditioning drifts with the trajectory. The
+    a_q reparam draw needs a key (torch global RNG in the reference);
+    when none is given it derives one from r_seed INSIDE the jitted
+    trajectory (sampler entry points stay free of eager device ops)."""
+    mdl_cls = type(model)
+
+    def eps_fn(x, t, _a):
+        k = key if key is not None else jr.PRNGKey(r_seed)
+        a_det, a_q, _mu, _lv = model.apply(
+            params, x, method=mdl_cls.encode,
+            rngs={"reparam": jr.fold_in(k, t[0])}, sample=True,
+        )
+        cond = model._route_latent(a_det, a_q)
+        return model.apply(params, x, t, cond)
+
+    return eps_fn
+
+
 class DiffusionProcess:
     """API-parity wrapper (reference: sampling.py:3-101).
 
@@ -277,31 +301,10 @@ class DiffusionProcess:
             getattr(self.cfg, "reverse_reference_quirk", False)
             and self.is_conditional
         ):
-            # Reference quirk (sampling.py:84-87): reverse_sampling
-            # accepts `a` but never forwards it, so InfoDiff.forward
-            # re-encodes the CURRENT noisy sample at every step
-            # (models.py:708-710) — conditioning drifts with the
-            # trajectory. Reproduced here on request
-            # (--reverse_reference_quirk); the default implements the
-            # intended semantics (run.py:394 passes a explicitly).
-            model, mdl_cls = self.model, type(self.model)
-
-            def eps_fn(x, t, _a):
-                k = jr.fold_in(key, t[0])
-                a_det, a_q, _mu, _lv = model.apply(
-                    params, x, method=mdl_cls.encode,
-                    rngs={"reparam": k}, sample=True,
-                )
-                cond = model._route_latent(a_det, a_q)
-                return model.apply(params, x, t, cond)
-
+            eps_fn = _requirk_eps_fn(
+                self.model, params, key, self.cfg.r_seed
+            )
         return reverse_sample_loop(eps_fn, self.sched, x0, a)
-
-    def _needs_reverse_key(self):
-        return (
-            getattr(self.cfg, "reverse_reference_quirk", False)
-            and self.is_conditional
-        )
 
     def _strided_impl(self, params, xT, a, key, num_steps):
         return strided_ddim_loop(
@@ -326,10 +329,6 @@ class DiffusionProcess:
         return self._jit_sample(params, xT, a, k_s)
 
     def reverse_sampling(self, x0, a=None, key=None):
-        if key is None and self._needs_reverse_key():
-            # the quirk path's per-step a_q reparam draws need a key
-            # (the reference uses the torch global RNG there)
-            key = jr.PRNGKey(self.cfg.r_seed)
         return self._jit_reverse(self.params, x0, a, key)
 
 
@@ -370,8 +369,11 @@ class TwoPhaseDiffusionProcess:
             a = jr.normal(k_a, (n, self.cfg.a_dim))
         return self._sample_impl(params1, params2, xT, a, k_s)
 
-    def _reverse_impl(self, params1, x0, a):
+    def _reverse_impl(self, params1, x0, a, key=None):
         cond = lambda x, t, a_: self.model1.apply(params1, x, t, a_)
+        if getattr(self.cfg, "reverse_reference_quirk", False):
+            # same reference bug at the two-phase site (sampling.py:183-188)
+            cond = _requirk_eps_fn(self.model1, params1, key, self.cfg.r_seed)
         return reverse_sample_loop(cond, self.sched, x0, a)
 
     def sampling(self, key, sampling_number=16, xT=None, a=None):
@@ -388,8 +390,8 @@ class TwoPhaseDiffusionProcess:
         params2, _ = _shard_for_mesh(self.mesh, self.params2, [xT])
         return self._jit_sample(params1, params2, xT, a, k_s)
 
-    def reverse_sampling(self, x0, a=None):
-        return self._jit_reverse(self.params1, x0, a)
+    def reverse_sampling(self, x0, a=None, key=None):
+        return self._jit_reverse(self.params1, x0, a, key)
 
 
 class LatentDiffusionProcess:

@@ -76,9 +76,11 @@ def load_latents(cfg: Config, dataset: str, npz_path: Optional[str] = None):
     elif dataset == "dsprites":
         # attrs ride along as [6 latents_values | 6 latents_classes]
         # (data.py loader); DCI wants the discrete classes, minus the
-        # constant color factor (see ATTR_TABLES note)
-        a = all_a
-        y = all_attr[:, 7:].astype(np.int64)
+        # constant color factor (see ATTR_TABLES note). Capped at 10k
+        # rows like celeba/3dshapes — the real dataset has 737k and the
+        # per-factor GBT protocol is intractable on all of them.
+        a = all_a[:10000, :]
+        y = all_attr[:10000, 7:].astype(np.int64)
     elif dataset == "ffhq":
         # reference reads labels from ffhq_labels.csv (columns 2+, first
         # 69952 rows; eval_disentanglement.py:397-401)

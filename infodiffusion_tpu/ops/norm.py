@@ -12,10 +12,17 @@ explicitly-fused variant for the training hot path.
 
 Layout: NHWC. ``num_groups`` groups over the channel (last) axis; stats
 are computed in f32 regardless of activation dtype (bf16-safe).
+
+Skip-concat inputs: UNet upblocks normalize ``concat(h, skip)`` —
+:func:`group_norm_pieces` computes that WITHOUT materializing the concat
+(per-piece producer-fused stats, per-piece normalization), and the
+blocks' piece convs consume the normalized pieces directly
+(nn/blocks.py).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -34,18 +41,28 @@ def _use_pallas() -> bool:
     return pallas_enabled()
 
 
+def _ablate_stats() -> bool:
+    # DIAGNOSTIC ONLY (not parity-correct): constant stats, so the
+    # stats reductions vanish from the program — used to attribute
+    # their cost in the sampler roofline analysis (tools/).
+    return os.environ.get("INFODIFF_ABLATE_GN_STATS") == "1"
+
+
+def _const_stats(B: int, num_groups: int):
+    shape = (B, 1, num_groups, 1)
+    return jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32)
+
+
+def _var_to_rstd(var: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.rsqrt(jnp.maximum(var, 0.0) + _EPS)
+
+
 def _gn_stats(x: jnp.ndarray, num_groups: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(batch, group) mean/rstd in f32. x: [..., C]."""
     *lead, C = x.shape
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
-    import os
-
-    if os.environ.get("INFODIFF_ABLATE_GN_STATS") == "1":
-        # DIAGNOSTIC ONLY (not parity-correct): constant stats, so the
-        # stats reductions vanish from the program — used to attribute
-        # their cost in the sampler roofline analysis (tools/).
-        shape = (x.shape[0], 1, num_groups, 1)
-        return jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32)
+    if _ablate_stats():
+        return _const_stats(x.shape[0], num_groups)
     xf = x.astype(jnp.float32).reshape(x.shape[0], -1, num_groups, C // num_groups)
     # one-pass stats (E[x^2] - mean^2): both reductions land in ONE XLA
     # fusion reading x once, vs two passes for the (x - mean)^2 form —
@@ -54,9 +71,7 @@ def _gn_stats(x: jnp.ndarray, num_groups: int) -> Tuple[jnp.ndarray, jnp.ndarray
     # (torch GroupNorm computes Welford/one-pass variance too).
     mean = xf.mean(axis=(1, 3), keepdims=True)
     mean_sq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    rstd = jax.lax.rsqrt(var + _EPS)
-    return mean, rstd
+    return mean, _var_to_rstd(mean_sq - jnp.square(mean))
 
 
 def _gn_stats_from_pieces(
@@ -71,14 +86,11 @@ def _gn_stats_from_pieces(
     level-0 upblock concat-input norms were the only stats not already
     fused into a producer (35.8 ms/rep standalone reads — see STATUS.md
     roofline attribution)."""
-    import os
-
     B = pieces[0].shape[0]
     C = sum(p.shape[-1] for p in pieces)
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
-    if os.environ.get("INFODIFF_ABLATE_GN_STATS") == "1":
-        shape = (B, 1, num_groups, 1)
-        return jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32)
+    if _ablate_stats():
+        return _const_stats(B, num_groups)
     spatial_axes = tuple(range(1, pieces[0].ndim - 1))
     n_spatial = 1
     for ax in spatial_axes:
@@ -98,8 +110,7 @@ def _gn_stats_from_pieces(
     g2 = s2.reshape(B, num_groups, C // num_groups).sum(-1)
     count = n_spatial * (C // num_groups)
     mean = g1 / count
-    var = jnp.maximum(g2 / count - jnp.square(mean), 0.0)
-    rstd = jax.lax.rsqrt(var + _EPS)
+    rstd = _var_to_rstd(g2 / count - jnp.square(mean))
     shape = (B, 1, num_groups, 1)
     return mean.reshape(shape), rstd.reshape(shape)
 
@@ -142,32 +153,16 @@ def group_norm_pieces(
     return out
 
 
-def _split_pieces(x):
-    """Norm entry points accept either one array or a tuple of pieces
-    (the not-yet-concatenated inputs of a skip-concat) -> (concat,
-    pieces-or-None)."""
-    if isinstance(x, (tuple, list)):
-        assert all(p.shape[:-1] == x[0].shape[:-1] for p in x)
-        return jnp.concatenate(list(x), axis=-1), list(x)
-    return x, None
-
-
 def group_norm(
-    x,
+    x: jnp.ndarray,
     num_groups: int,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
 ) -> jnp.ndarray:
     """Plain GroupNorm over the last axis of an NHWC (or [B, N, C])
-    tensor, or of ``concat(x, -1)`` when ``x`` is a tuple of pieces
-    (stats then fuse into each piece's producer — see
-    :func:`_gn_stats_from_pieces`)."""
-    x, pieces = _split_pieces(x)
+    tensor. For skip-concat inputs use :func:`group_norm_pieces`."""
     B, C = x.shape[0], x.shape[-1]
-    if pieces is not None:
-        mean, rstd = _gn_stats_from_pieces(pieces, num_groups)
-    else:
-        mean, rstd = _gn_stats(x, num_groups)
+    mean, rstd = _gn_stats(x, num_groups)
     xf = x.astype(jnp.float32).reshape(B, -1, num_groups, C // num_groups)
     h = (xf - mean) * rstd
     h = h.reshape(x.shape)
@@ -176,7 +171,7 @@ def group_norm(
 
 
 def adagn(
-    x,
+    x: jnp.ndarray,
     num_groups: int,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
@@ -186,23 +181,20 @@ def adagn(
     order — one for ResBlock (time), two for AuxResBlock (time then aux)
     (reference: modules.py:247-258, 309-318).
 
-    x: [B, H, W, C] (or [B, N, C]), or a tuple of such pieces to
-    normalize their concat (see :func:`_gn_stats_from_pieces`); each
-    (s, b) in ``films``: [B, C], broadcast over the spatial axes.
+    x: [B, H, W, C] (or [B, N, C]); each (s, b) in ``films``: [B, C],
+    broadcast over the spatial axes.
     """
     if _use_pallas():
         from infodiffusion_tpu.ops.pallas.adagn import adagn_pallas
 
         try:
-            xc, _ = _split_pieces(x)
-            return adagn_pallas(xc, num_groups, scale, bias, films)
+            return adagn_pallas(x, num_groups, scale, bias, films)
         except NotImplementedError:
             pass
     h = group_norm(x, num_groups, scale, bias).astype(jnp.float32)
-    ref = x[0] if isinstance(x, (tuple, list)) else x  # dtype/ndim only
-    expand = (slice(None),) + (None,) * (ref.ndim - 2) + (slice(None),)
+    expand = (slice(None),) + (None,) * (x.ndim - 2) + (slice(None),)
     for s, b in films:
         s = s.astype(jnp.float32)[expand]
         b = b.astype(jnp.float32)[expand]
         h = h * (1.0 + s) + b
-    return h.astype(ref.dtype)
+    return h.astype(x.dtype)

@@ -94,8 +94,7 @@ def test_gn_stats_from_pieces_matches_concat():
     import jax.random as jr
 
     from infodiffusion_tpu.ops.norm import (
-        _gn_stats, _gn_stats_from_pieces, adagn, group_norm,
-        group_norm_pieces,
+        _gn_stats, _gn_stats_from_pieces, group_norm, group_norm_pieces,
     )
 
     k1, k2 = jr.split(jr.PRNGKey(0))
@@ -109,17 +108,6 @@ def test_gn_stats_from_pieces_matches_concat():
 
     scale = jnp.linspace(0.5, 1.5, 192)
     bias = jnp.linspace(-0.1, 0.1, 192)
-    np.testing.assert_allclose(
-        np.asarray(group_norm((a, b), 32, scale, bias)),
-        np.asarray(group_norm(cat, 32, scale, bias)),
-        atol=2e-5,
-    )
-    films = [(jnp.ones((4, 192)) * 0.1, jnp.zeros((4, 192)))]
-    np.testing.assert_allclose(
-        np.asarray(adagn((a, b), 32, scale, bias, films)),
-        np.asarray(adagn(cat, 32, scale, bias, films)),
-        atol=2e-5,
-    )
     # concat-free form: normalized pieces, re-concatenated == concat GN.
     # Piece widths (64, 128) deliberately MISalign with the 6-channel
     # groups of 192/32 to exercise the per-channel stat broadcast.

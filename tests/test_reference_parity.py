@@ -69,9 +69,6 @@ def _nhwc(x_nchw):
     return np.transpose(x_nchw, (0, 2, 3, 1))
 
 
-RNGS = None
-
-
 def _rngs():
     import jax.random as jr
 
@@ -312,7 +309,7 @@ def test_reverse_ddim_trajectory_matches_reference(ref):
     step generator `_ddim_one_reverse_diffusion_step(x, a)`
     (sampling.py:167-174). The reference's public `reverse_sampling`
     wrapper drops `a` (PARITY.md D13) — that quirk is covered by
-    test_samplers.py::test_reverse_requirk instead."""
+    test_reverse_requirk_matches_reference below instead."""
     import jax.numpy as jnp
 
     from infodiffusion_tpu.diffusion.samplers import reverse_sample_loop
