@@ -354,6 +354,44 @@ def test_reverse_ddim_trajectory_matches_reference(ref):
     )
 
 
+def test_torch_checkpoint_file_roundtrip(ref, tmp_path):
+    """The exact on-disk format the reference produces (torch.save of a
+    state_dict, run.py:157) loads through interop.load_torch_checkpoint
+    and reproduces the reference forward — guards the FILE layer on top
+    of the in-memory state_dict mapping."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.interop import load_torch_checkpoint
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args()
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+    path = str(tmp_path / "model-50.pth")
+    torch.save(rm.state_dict(), path)
+
+    model = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                     unets_channels=CH, encoder_channels=CH, epochs=2)
+    v = model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                   method=InfoDiff.loss_fn)
+    params = load_torch_checkpoint(model, v["params"], path)
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    a = rng.randn(B, A_DIM).astype(np.float32)
+    with torch.no_grad():
+        want = rm.forward(torch.from_numpy(x), idx=2,
+                          a=torch.from_numpy(a)).numpy()
+    got = model.apply(
+        {"params": params},
+        jnp.asarray(_nhwc(x)), jnp.full((B,), 2), jnp.asarray(a),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_reverse_requirk_matches_reference(ref):
     """--reverse_reference_quirk reproduces the reference's PUBLIC
     reverse_sampling wrapper, which drops `a` and re-encodes the current
