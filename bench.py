@@ -239,16 +239,20 @@ def main():
     steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "3"))
     use_bf16 = os.environ.get("INFODIFF_BENCH_BF16", "1") == "1"
+    # INFODIFF_BENCH_SIZE: image resolution (default 64 = the flagship
+    # CelebA config the driver records; e.g. 128 for the
+    # beyond-reference-scale datapoint)
+    size = int(os.environ.get("INFODIFF_BENCH_SIZE", "64"))
 
     from infodiffusion_tpu.diffusion import make_schedule, strided_ddim_loop
     from infodiffusion_tpu.models import InfoDiff
 
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     model = InfoDiff(
-        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        T=1000, a_dim=256, shape=(3, size, size), unets_channels=64,
         encoder_channels=64, mmd_weight=0.1, epochs=50, dtype=dtype,
     )
-    x = jnp.zeros((1, 64, 64, 3))
+    x = jnp.zeros((1, size, size, 3))
     t0 = jnp.zeros((1,), jnp.int32)
     a0 = jnp.zeros((1, 256))
     rngs = {
@@ -270,7 +274,7 @@ def main():
     key = jr.PRNGKey(0)
     # carry stays f32 (schedule math is f32 by design); the model's
     # bf16 policy casts activations internally
-    xT = jr.normal(key, (batch, 64, 64, 3))
+    xT = jr.normal(key, (batch, size, size, 3))
     a = jr.normal(key, (batch, 256))
 
     # compile + warmup

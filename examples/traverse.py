@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Latent traversal of real images via the library API: encode, then
+sweep one latent dimension and decode each variant (the `disentangle`
+CLI mode, programmatically).
+
+    python examples/traverse.py --model diff --mode eval --prior regular \
+        --dataset celeba --a_dim 256 --epochs 50 --mmd_weight 0.1 \
+        --deterministic --img_id 0
+
+Writes traverse-dim{K}.png rows for the first few latent dims.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
+import numpy as np
+
+from infodiffusion_tpu.cli import parse_args
+from infodiffusion_tpu.data import get_dataset, DataLoader
+from infodiffusion_tpu.imaging import save_image
+from infodiffusion_tpu.pipelines import InfoDiffusionPipeline
+
+
+def main(argv=None, n_dims: int = 4):
+    cfg = parse_args(argv)
+    pipe = InfoDiffusionPipeline.from_checkpoint(cfg)
+    ds = get_dataset(cfg)
+    x = np.asarray(next(iter(DataLoader(ds, batch_size=1))))
+    for k in range(min(n_dims, cfg.a_dim)):
+        row = pipe.traverse(x, dim=k)
+        row = np.clip((np.asarray(row) + 1.0) / 2.0, 0.0, 1.0)
+        save_image(row, f"traverse-dim{k}.png", nrow=row.shape[0])
+        print(f"wrote traverse-dim{k}.png")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
