@@ -34,3 +34,19 @@ def test_all_script_invocations_parse():
         else:
             ns = build_parser(require_mode=False).parse_args(args)
             assert ns.dataset, src
+
+
+def test_example_scripts_parse_help():
+    """examples/*.py must import cleanly and expose the standard CLI
+    flag surface (argparse --help exits 0)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("generate.py", "traverse.py"):
+        r = subprocess.run(
+            [sys.executable, os.path.join(root, "examples", name), "--help"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, (name, r.stderr[-500:])
+        assert "--model" in r.stdout
