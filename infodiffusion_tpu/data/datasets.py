@@ -347,22 +347,57 @@ def _render_dsprites(n: int, size: int, rng) -> ArrayDataset:
     )
 
 
+def _render_celeba(n: int, size: int, rng) -> ArrayDataset:
+    """Factor-DEPENDENT synthetic celeba: RGB images of one shape whose
+    type / vertical position / size / color / background brightness are
+    controlled by the first five of the 40 binary attrs; the remaining
+    35 are random nuisance bits. All five rendered factors are
+    horizontal-flip-invariant (the celeba train pipeline random-flips),
+    which makes the TAD / attr-probe validation meaningful the same way
+    :func:`_render_dsprites` does for DCI."""
+    attrs = rng.randint(0, 2, size=(n, 40)).astype(np.int32)
+    shape_t = attrs[:, 0]                      # 0 ellipse / 1 rectangle
+    posy = 0.32 + 0.36 * attrs[:, 1]           # top / bottom
+    half = 0.10 + 0.08 * attrs[:, 2]           # small / large
+    red = attrs[:, 3]                          # blue-ish / red-ish object
+    bg = (0.15 + 0.55 * attrs[:, 4]).astype(np.float32)  # dark / light bg
+    g = (np.arange(size) + 0.5) / size
+    yy, xx = np.meshgrid(g, g, indexing="ij")
+    dx = np.abs(xx[None] - 0.5)
+    dy = np.abs(yy[None] - posy[:, None, None])
+    h = half[:, None, None]
+    rect = np.maximum(dx, dy) <= h
+    ell = (dx / h) ** 2 + (dy / h) ** 2 <= 1.0
+    mask = np.where(shape_t[:, None, None] == 1, rect, ell)
+    img = np.broadcast_to(
+        bg[:, None, None, None], (n, size, size, 3)
+    ).copy()
+    color = np.where(
+        red[:, None].astype(bool),
+        np.array([[0.85, 0.20, 0.20]], np.float32),
+        np.array([[0.20, 0.30, 0.85]], np.float32),
+    )  # [n, 3]
+    img[mask] = color[np.nonzero(mask)[0]]
+    imgs = (img * 255.0).astype(np.uint8)
+    return ArrayDataset(images=imgs, attrs=attrs)
+
+
 def _synthetic(cfg) -> ArrayDataset:
     """Deterministic fake data with the dataset's exact shape/attr
     contract — for tests, benches and dry runs (no reference analog).
-    dsprites gets factor-dependent rendered sprites (see
-    :func:`_render_dsprites`); the others use noise images."""
+    dsprites and celeba get factor-dependent rendered images (see
+    :func:`_render_dsprites` / :func:`_render_celeba`); the others use
+    noise images."""
     n = int(os.environ.get("INFODIFF_SYNTHETIC_N", "512"))
     rng = np.random.RandomState(0)
     if cfg.dataset == "dsprites":
         return _render_dsprites(n, cfg.input_size, rng)
+    if cfg.dataset == "celeba":
+        return _render_celeba(n, cfg.input_size, rng)
     imgs = rng.randint(
         0, 256, size=(n, cfg.input_size, cfg.input_size, cfg.input_channels)
     ).astype(np.uint8)
-    if cfg.dataset == "celeba":
-        attrs = rng.randint(0, 2, size=(n, 40)).astype(np.int32)
-    else:
-        attrs = rng.randint(0, 10, size=(n,)).astype(np.int32)
+    attrs = rng.randint(0, 10, size=(n,)).astype(np.int32)
     return ArrayDataset(images=imgs, attrs=attrs)
 
 

@@ -108,6 +108,33 @@ def test_synthetic_dsprites_renders_factors():
     assert np.corrcoef(area[sq], vals[sq, 2])[0, 1] > 0.9
 
 
+def test_synthetic_celeba_renders_attrs():
+    """Synthetic celeba images must DEPEND on the first five attr bits
+    (shape/posy/size/color/background — all horizontal-flip-invariant),
+    with the real 40-attr contract (tools/repr_learning_demo.py's TAD
+    counterpart)."""
+    from infodiffusion_tpu.data.datasets import _render_celeba
+
+    ds = _render_celeba(64, 64, np.random.RandomState(0))
+    assert ds.images.shape == (64, 64, 64, 3)
+    assert ds.images.dtype == np.uint8
+    assert ds.attrs.shape == (64, 40)
+    m = ds.images.astype(np.float64)
+    fg = np.abs(m[..., 0] - m[..., 2]) > 30  # colored object pixels
+    g = (np.arange(64) + 0.5) / 64
+    com_y = np.array(
+        [(fg[i] * g[:, None]).sum() / max(fg[i].sum(), 1) for i in range(64)]
+    )
+    assert np.corrcoef(com_y, ds.attrs[:, 1])[0, 1] > 0.95
+    assert np.corrcoef(fg.sum((1, 2)), ds.attrs[:, 2])[0, 1] > 0.9
+    rb = np.array(
+        [(m[i, ..., 0] - m[i, ..., 2])[fg[i]].mean() for i in range(64)]
+    )
+    assert np.corrcoef(rb, ds.attrs[:, 3])[0, 1] > 0.95
+    bgv = np.array([m[i][~fg[i]].mean() for i in range(64)])
+    assert np.corrcoef(bgv, ds.attrs[:, 4])[0, 1] > 0.95
+
+
 def test_dsprites_raw_normalization():
     ds = ArrayDataset(
         images=np.ones((4, 4, 4, 1), np.uint8), normalize="raw"

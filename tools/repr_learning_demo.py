@@ -16,6 +16,19 @@ Measured on a v5e chip (a_dim 8, T=50, 2048 sprites, 150 epochs,
     DCI 0.0201 +- 0.0011; linear-probe acc vs chance: Shape 0.46/0.33,
     Scale 0.40/0.17, PosX 0.13/0.03, PosY 0.14/0.03, Orient 0.02/0.025.
 
+The TAD counterpart runs on factor-rendered synthetic CELEBA (5
+flip-invariant binary factors, 35 nuisance bits; datasets._render_celeba)
+with the flagship-size model:
+
+    INFODIFF_SYNTHETIC_N=2048 python run.py --model diff --prior regular \
+        --dataset celeba --a_dim 32 --data_dir synthetic \
+        --diffusion_steps 50 --batch_size 32 --r_seed 5 -e 100 --bf16 \
+        --mode train --save_epochs 100       # then save_latent, then
+    python eval_disentanglement.py <same flags> --mode save_latent
+
+Measured (v5e): rendered attrs probe at 0.92-1.00 acc, nuisance attrs
+at chance; TAD 0.058 with 3 attributes captured per fold.
+
 Usage:  python tools/repr_learning_demo.py [workdir]
 """
 
