@@ -26,7 +26,9 @@ from infodiffusion_tpu.pipelines import InfoDiffusionPipeline
 
 
 def main(argv=None, n_dims: int = 4):
-    cfg = parse_args(argv)
+    # apply the per-dataset config table (channels/size) BEFORE building
+    # the dataset — the raw parsed cfg still has the argparse defaults
+    cfg = parse_args(argv).with_dataset_config()
     pipe = InfoDiffusionPipeline.from_checkpoint(cfg)
     ds = get_dataset(cfg)
     x = np.asarray(next(iter(DataLoader(ds, batch_size=1))))
