@@ -20,6 +20,9 @@ INFODIFF_BENCH_MODE selects secondary metrics (not the headline line the
 driver records): train (train imgs/sec/chip), latent (latent-DDIM
 latents/sec), encode (Encoder imgs/sec — the save_latent workhorse),
 fid (InceptionV3 FID-feature imgs/sec — the eval_fid scoring pass).
+INFODIFF_BENCH_SIZE applies to the headline, train and encode modes
+(latent/fid are resolution-independent); non-64px headline runs emit a
+size-suffixed metric name and no vs_baseline.
 """
 
 import json
@@ -50,12 +53,13 @@ def train_main():
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "20"))
     use_bf16 = os.environ.get("INFODIFF_BENCH_BF16", "1") == "1"
+    size = int(os.environ.get("INFODIFF_BENCH_SIZE", "64"))
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     model = InfoDiff(
-        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        T=1000, a_dim=256, shape=(3, size, size), unets_channels=64,
         encoder_channels=64, mmd_weight=0.1, epochs=50, dtype=dtype,
     )
-    x = jr.normal(jr.PRNGKey(0), (batch, 64, 64, 3))
+    x = jr.normal(jr.PRNGKey(0), (batch, size, size, 3))
     tx = make_optimizer(1e-4, 50, 1000)
     state = create_train_state(model, jr.PRNGKey(0), x, tx)
     step = make_train_step(model, tx, donate=True)
@@ -72,7 +76,11 @@ def train_main():
     print(
         json.dumps(
             {
-                "metric": "celeba64_train_imgs_per_sec_per_chip",
+                "metric": (
+                    "celeba64_train_imgs_per_sec_per_chip"
+                    if size == 64
+                    else f"celeba_train_imgs_per_sec_per_chip_{size}px"
+                ),
                 "value": round(ips, 3),
                 "unit": "imgs/s",
                 "vs_baseline": None,
@@ -137,12 +145,13 @@ def encode_main():
 
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "256"))
     reps = int(os.environ.get("INFODIFF_BENCH_REPS", "10"))
+    size = int(os.environ.get("INFODIFF_BENCH_SIZE", "64"))
     model = InfoDiff(
-        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        T=1000, a_dim=256, shape=(3, size, size), unets_channels=64,
         encoder_channels=64, mmd_weight=0.1, epochs=50,
         dtype=jnp.bfloat16,
     )
-    x0 = jnp.zeros((1, 64, 64, 3))
+    x0 = jnp.zeros((1, size, size, 3))
     rngs = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
             "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)}
     # init through loss_fn: the __call__ path alone does not
@@ -159,7 +168,7 @@ def encode_main():
         return jnp.float32(jnp.mean(a) + jnp.mean(mu))
 
     key = jr.PRNGKey(0)
-    x = jr.normal(key, (batch, 64, 64, 3))
+    x = jr.normal(key, (batch, size, size, 3))
     float(enc(variables, x))
     times = []
     for i in range(reps):
@@ -171,7 +180,11 @@ def encode_main():
     print(
         json.dumps(
             {
-                "metric": "encode_imgs_per_sec",
+                "metric": (
+                    "encode_imgs_per_sec"
+                    if size == 64
+                    else f"encode_imgs_per_sec_{size}px"
+                ),
                 "value": round(ips, 1),
                 "unit": "imgs/s",
                 "vs_baseline": None,
@@ -293,13 +306,23 @@ def main():
 
     best = min(times)
     sps = batch / best
+    # non-64px runs get their own metric name and no vs_baseline: the
+    # headline series the driver records (and the A100 estimate it is
+    # scaled against) is defined at the 64px flagship config only
+    metric = (
+        "ddim100_samples_per_sec"
+        if size == 64
+        else f"ddim100_samples_per_sec_{size}px"
+    )
     print(
         json.dumps(
             {
-                "metric": "ddim100_samples_per_sec",
+                "metric": metric,
                 "value": round(sps, 3),
                 "unit": "samples/s",
-                "vs_baseline": round(sps / A100_DDIM100_EST, 3),
+                "vs_baseline": (
+                    round(sps / A100_DDIM100_EST, 3) if size == 64 else None
+                ),
             }
         )
     )

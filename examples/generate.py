@@ -28,9 +28,11 @@ from infodiffusion_tpu.pipelines import InfoDiffusionPipeline
 def main(argv=None):
     cfg = parse_args(argv)
     pipe = InfoDiffusionPipeline.from_checkpoint(cfg)
-    imgs = pipe.generate(cfg.sampling_number, steps=cfg.sampling_steps)
-    imgs = np.clip((np.asarray(imgs) + 1.0) / 2.0, 0.0, 1.0)
-    save_image(imgs, "generated.png")
+    imgs = np.asarray(
+        pipe.generate(cfg.sampling_number, steps=cfg.sampling_steps)
+    )
+    save_image(imgs, "generated.png", normalize=True,
+               value_range=(-1.0, 1.0))
     print(f"wrote generated.png ({imgs.shape[0]} samples)")
 
 

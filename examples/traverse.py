@@ -31,11 +31,15 @@ def main(argv=None, n_dims: int = 4):
     cfg = parse_args(argv).with_dataset_config()
     pipe = InfoDiffusionPipeline.from_checkpoint(cfg)
     ds = get_dataset(cfg)
-    x = np.asarray(next(iter(DataLoader(ds, batch_size=1))))
+    loader = iter(DataLoader(ds, batch_size=1, shuffle=False))
+    # honor --img_id like the disentangle CLI mode (runner._nth_batch)
+    for _ in range(cfg.img_id):
+        next(loader)
+    x = np.asarray(next(loader))
     for k in range(min(n_dims, cfg.a_dim)):
-        row = pipe.traverse(x, dim=k)
-        row = np.clip((np.asarray(row) + 1.0) / 2.0, 0.0, 1.0)
-        save_image(row, f"traverse-dim{k}.png", nrow=row.shape[0])
+        row = np.asarray(pipe.traverse(x, dim=k))
+        save_image(row, f"traverse-dim{k}.png", nrow=row.shape[0],
+                   normalize=True, value_range=(-1.0, 1.0))
         print(f"wrote traverse-dim{k}.png")
 
 

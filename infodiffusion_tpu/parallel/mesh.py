@@ -42,6 +42,14 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_1d_mesh(n: int, axis: str, devices=None) -> Mesh:
+    """One-axis mesh over the first n devices — used by the PP ('stage')
+    and SP ('seq') executors."""
+    devices = devices if devices is not None else jax.devices()[:n]
+    assert len(devices) == n, (len(devices), n)
+    return Mesh(np.asarray(devices), (axis,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch axis sharded over 'data', everything else replicated."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -34,32 +34,36 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.4.35 exposes it at top level
+try:  # newer jax exposes it at top level
     from jax import shard_map as _shard_map  # type: ignore[attr-defined]
-
-    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-        return _shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=check_rep,
-        )
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map_old
+    from jax.experimental.shard_map import shard_map as _shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-        return _shard_map_old(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=check_rep,
-        )
+# the replication-check kwarg was renamed check_rep -> check_vma; detect
+# which one THIS jax takes rather than keying off the import location
+import inspect
+
+_CHECK_KW = (
+    "check_vma"
+    if "check_vma" in inspect.signature(_shard_map).parameters
+    else "check_rep"
+)
+
+
+def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+    return _shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        **{_CHECK_KW: check_rep},
+    )
+
 
 STAGE_AXIS = "stage"
 
 
 def make_stage_mesh(n_stages: int, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()[:n_stages]
-    assert len(devices) == n_stages
-    import numpy as np
+    from infodiffusion_tpu.parallel.mesh import make_1d_mesh
 
-    return Mesh(np.asarray(devices), (STAGE_AXIS,))
+    return make_1d_mesh(n_stages, STAGE_AXIS, devices)
 
 
 def gpipe(

@@ -31,11 +31,9 @@ SEQ_AXIS = "seq"
 
 
 def make_seq_mesh(n_shards: int, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()[:n_shards]
-    assert len(devices) == n_shards
-    import numpy as np
+    from infodiffusion_tpu.parallel.mesh import make_1d_mesh
 
-    return Mesh(np.asarray(devices), (SEQ_AXIS,))
+    return make_1d_mesh(n_shards, SEQ_AXIS, devices)
 
 
 def ring_attention(
@@ -59,8 +57,8 @@ def ring_attention(
         B, n, _ = q.shape
         perm = [(i, (i + 1) % S) for i in range(S)]
 
-        def step(carry, _):
-            m, l, o, kc, vc = carry
+        def accumulate(carry, kc, vc):
+            m, l, o = carry
             logits = (
                 jnp.einsum(
                     "bnc,bmc->bnm", qf, kc.astype(jnp.float32),
@@ -76,15 +74,24 @@ def ring_attention(
                 "bnm,bmc->bnc", p, vc.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
-            return (m_new, l, o,
-                    lax.ppermute(kc, axis, perm),
-                    lax.ppermute(vc, axis, perm)), None
+            return m_new, l, o
+
+        def step(carry, _):
+            # rotate FIRST, then accumulate: the local block is handled
+            # before the loop, so only the necessary S-1 ring exchanges
+            # are issued (no discarded final ppermute pair)
+            m, l, o, kc, vc = carry
+            kc = lax.ppermute(kc, axis, perm)
+            vc = lax.ppermute(vc, axis, perm)
+            m, l, o = accumulate((m, l, o), kc, vc)
+            return (m, l, o, kc, vc), None
 
         m0 = jnp.full((B, n, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((B, n, 1), jnp.float32)
         o0 = jnp.zeros((B, n, C), jnp.float32)
+        carry0 = accumulate((m0, l0, o0), k, v)  # own (local) KV block
         (m, l, o, _, _), _ = lax.scan(
-            step, (m0, l0, o0, k, v), None, length=S
+            step, carry0 + (k, v), None, length=S - 1
         )
         return (o / l).astype(v.dtype)
 
