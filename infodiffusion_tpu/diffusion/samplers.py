@@ -32,6 +32,7 @@ model params (callers jit the whole loop with params as an argument);
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -207,6 +208,14 @@ def _shard_for_mesh(mesh, params, batch_arrays):
     n = int(mesh.shape.get("data", 1))
     sizes = [a.shape[0] for a in batch_arrays if a is not None]
     if not sizes or any(s % n for s in sizes):
+        if n > 1 and sizes:
+            warnings.warn(
+                f"sampling batch sizes {sorted(set(sizes))} do not divide "
+                f"the {n}-way 'data' mesh axis; falling back to "
+                "single-device eval sampling (pad or resize the batch to "
+                f"a multiple of {n} to shard it)",
+                stacklevel=3,
+            )
         return params, batch_arrays
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))

@@ -606,18 +606,24 @@ def _mode_plot_latent(cfg, model, variables):
     labels = np.asarray(all_attr)
     if labels.ndim > 1:
         labels = labels[:, 0]
+    # attr-less datasets (chairs/ffhq) carry "No Attributes" strings
+    # (_encode_dataset); color every point as one class instead of
+    # crashing on labels.astype(float)
+    try:
+        labels = labels.astype(float)
+    except (ValueError, TypeError):
+        labels = np.zeros(len(labels), dtype=float)
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        plt.scatter(all_a[:, 0], all_a[:, 1], c=labels.astype(float),
-                    cmap="tab10", s=5)
+        plt.scatter(all_a[:, 0], all_a[:, 1], c=labels, cmap="tab10", s=5)
         plt.savefig(path)
         plt.close()
     except ImportError:
-        _scatter_png(all_a[:, 0], all_a[:, 1], labels.astype(float), path)
+        _scatter_png(all_a[:, 0], all_a[:, 1], labels, path)
     print(f"Saved latent plot to {path}")
     return path
 
