@@ -10,9 +10,12 @@ Prints ONE JSON line:
 vs_baseline scaling: the reference publishes no numbers (BASELINE.md) and
 always samples the full T=1000 grid host-driven. A100_DDIM100_EST is an
 *estimate* of a PyTorch DDIM-100 sampler for this UNet on one A100
-(35M-param UNet, batch 64, eager torch): ~30 samples/s. The north-star
-target is >=5x that (BASELINE.json). The estimate is fixed across rounds
-so the trend is comparable.
+(13.6M-param backbone, 14.9 GFLOP/forward, eager fp32+TF32, batch 64):
+~30 samples/s = ~29% of the A100 TF32 peak. Full derivation with sources
+in BASELINE.md ("Derivation of the A100 DDIM-100 denominator");
+reproduce the FLOP accounting with tools/flops_report.py. The estimate
+is fixed across rounds so the trend is comparable; the >=5x north-star
+(BASELINE.json) therefore means >=150 samples/s.
 
 Env knobs: INFODIFF_BENCH_BATCH (default 128), INFODIFF_BENCH_STEPS (100),
 INFODIFF_BENCH_REPS (3), INFODIFF_BENCH_BF16 (default 1),
