@@ -245,7 +245,8 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True, sample: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, sample: bool = True,
+                 reparam_eps=None):
         h = _UNetSkeleton(
             self.ch, self.ch_mult, 1, "encoder", self.attn,
             self.num_res_blocks, self.dropout, self.dtype, name="unet",
@@ -259,12 +260,15 @@ class Encoder(nn.Module):
         mu = dense("fc_mu", self.a_dim)(a)
         log_var = dense("fc_var", self.a_dim)(a)
         if sample:
-            import jax.random as jr
+            # reparam_eps: optional injected standard-normal draw (parity
+            # tests / deterministic debugging); default draws from the
+            # 'reparam' RNG stream
+            if reparam_eps is None:
+                import jax.random as jr
 
-            key = self.make_rng("reparam")
-            a_q = mu + jr.normal(key, mu.shape, dtype=mu.dtype) * jnp.exp(
-                0.5 * log_var
-            )
+                key = self.make_rng("reparam")
+                reparam_eps = jr.normal(key, mu.shape, dtype=mu.dtype)
+            a_q = mu + reparam_eps.astype(mu.dtype) * jnp.exp(0.5 * log_var)
         else:
             a_q = mu
         return a, a_q, mu, log_var

@@ -138,26 +138,42 @@ class InfoDiff(nn.Module):
             return a
         return a if self.mmd_weight != 0 else a_q
 
-    def train_forward(self, x, *, deterministic: bool = False):
-        """Random-t re-noising + encoding (reference: models.py:698-723)."""
+    def train_forward(self, x, *, deterministic: bool = False,
+                      t=None, eps=None, reparam_eps=None):
+        """Random-t re-noising + encoding (reference: models.py:698-723).
+
+        ``t``/``eps``/``reparam_eps`` optionally inject the random draws
+        (cross-implementation parity tests, deterministic debugging);
+        by default they come from the 'noise'/'reparam' RNG streams.
+        """
         B = x.shape[0]
-        key = self.make_rng("noise")
-        k_t, k_eps = jr.split(key)
-        t = jr.randint(k_t, (B,), 0, self.T)
-        eps = jr.normal(k_eps, x.shape, dtype=x.dtype)
+        if t is None or eps is None:
+            key = self.make_rng("noise")
+            k_t, k_eps = jr.split(key)
+            if t is None:
+                t = jr.randint(k_t, (B,), 0, self.T)
+            if eps is None:
+                eps = jr.normal(k_eps, x.shape, dtype=x.dtype)
         x_tilde = q_sample(self.sched, x, t, eps)
         a, a_q, mu, log_var = self.encoder(
-            x, deterministic=deterministic, sample=True
+            x, deterministic=deterministic, sample=True,
+            reparam_eps=reparam_eps,
         )
         cond = self._route_latent(a, a_q)
         out = self.backbone(x_tilde, t, cond, deterministic=deterministic)
         return out, eps, a, mu, log_var
 
-    def loss_fn(self, x, curr_epoch=0, *, deterministic: bool = False):
+    def loss_fn(self, x, curr_epoch=0, *, deterministic: bool = False,
+                t=None, eps=None, reparam_eps=None, prior_samples=None):
         """Training loss (reference: models.py:632-696). Returns
-        (loss, aux dict of per-term values for the metrics writer)."""
+        (loss, aux dict of per-term values for the metrics writer).
+
+        The keyword-only ``t``/``eps``/``reparam_eps``/``prior_samples``
+        inject the four random draws for parity testing against the
+        torch reference on identical numbers."""
         out, eps, a, mu, log_var = self.train_forward(
-            x, deterministic=deterministic
+            x, deterministic=deterministic, t=t, eps=eps,
+            reparam_eps=reparam_eps,
         )
         out32 = out.astype(jnp.float32)
         eps32 = eps.astype(jnp.float32)
@@ -179,8 +195,11 @@ class InfoDiff(nn.Module):
             # MMD target is mu when KLD is also on, else the deterministic a
             # (reference: models.py:659 vs 682).
             target = mu if kld_w != 0 else a
-            prior_key = self.make_rng("noise")
-            true_samples = _draw_prior(prior_key, self.prior, target)
+            if prior_samples is None:
+                prior_key = self.make_rng("noise")
+                true_samples = _draw_prior(prior_key, self.prior, target)
+            else:
+                true_samples = prior_samples
             loss_mmd = compute_mmd(
                 true_samples.astype(jnp.float32), target.astype(jnp.float32)
             )
@@ -227,21 +246,29 @@ class Diff(nn.Module):
     def __call__(self, x, t, *, deterministic: bool = True):
         return self.backbone(x, t, deterministic=deterministic)
 
-    def train_forward(self, x, *, deterministic: bool = False):
+    def train_forward(self, x, *, deterministic: bool = False,
+                      t=None, eps=None):
         B = x.shape[0]
-        key = self.make_rng("noise")
-        k_t, k_eps = jr.split(key)
-        t = jr.randint(k_t, (B,), 0, self.T)
-        eps = jr.normal(k_eps, x.shape, dtype=x.dtype)
+        if t is None or eps is None:
+            key = self.make_rng("noise")
+            k_t, k_eps = jr.split(key)
+            if t is None:
+                t = jr.randint(k_t, (B,), 0, self.T)
+            if eps is None:
+                eps = jr.normal(k_eps, x.shape, dtype=x.dtype)
         # q_sample broadcasts over both image [B,H,W,C] and latent [B,d]
         # (reference: models.py:768-771).
         x_tilde = q_sample(self.sched, x, t, eps)
         out = self.backbone(x_tilde, t, deterministic=deterministic)
         return out, eps
 
-    def loss_fn(self, x, curr_epoch=0, *, deterministic: bool = False):
-        """eps-MSE only (reference: models.py:753-762)."""
-        out, eps = self.train_forward(x, deterministic=deterministic)
+    def loss_fn(self, x, curr_epoch=0, *, deterministic: bool = False,
+                t=None, eps=None):
+        """eps-MSE only (reference: models.py:753-762). ``t``/``eps``
+        optionally inject the draws (parity tests)."""
+        out, eps = self.train_forward(
+            x, deterministic=deterministic, t=t, eps=eps
+        )
         loss = jnp.mean(
             jnp.square(out.astype(jnp.float32) - eps.astype(jnp.float32))
         )
@@ -281,26 +308,35 @@ class VAE(nn.Module):
     def decode(self, a, *, deterministic: bool = True):
         return self.decoder(a, deterministic=deterministic)
 
-    def __call__(self, x, *, deterministic: bool = True):
-        a, a_q, mu, log_var = self.encoder(x, deterministic=deterministic)
+    def __call__(self, x, *, deterministic: bool = True, reparam_eps=None):
+        a, a_q, mu, log_var = self.encoder(
+            x, deterministic=deterministic, reparam_eps=reparam_eps
+        )
         # decode from a only when *no* regularizer is active
         # (reference: models.py:824-831).
         z = a if (self.mmd_weight == 0 and self.kld_weight == 0) else a_q
         rec = self.decoder(z, deterministic=deterministic)
         return rec, a_q, mu, log_var
 
-    def loss_fn(self, x, curr_epoch=0, *, deterministic: bool = False):
+    def loss_fn(self, x, curr_epoch=0, *, deterministic: bool = False,
+                reparam_eps=None, prior_samples=None):
         """Recon MSE + MMD(N(0,I), a_q) or batch-mean KLD
         (reference: models.py:795-819 — note the VAE's MMD always draws a
-        regular Gaussian prior and targets a_q, unlike InfoDiff)."""
-        rec, a_q, mu, log_var = self(x, deterministic=deterministic)
+        regular Gaussian prior and targets a_q, unlike InfoDiff).
+        ``reparam_eps``/``prior_samples`` inject the draws (parity tests)."""
+        rec, a_q, mu, log_var = self(
+            x, deterministic=deterministic, reparam_eps=reparam_eps
+        )
         loss = jnp.mean(
             jnp.square(rec.astype(jnp.float32) - x.astype(jnp.float32))
         )
         aux = {"recon": loss}
         if self.mmd_weight != 0:
-            key = self.make_rng("noise")
-            true_samples = jr.normal(key, a_q.shape, dtype=jnp.float32)
+            if prior_samples is not None:
+                true_samples = prior_samples
+            else:
+                key = self.make_rng("noise")
+                true_samples = jr.normal(key, a_q.shape, dtype=jnp.float32)
             loss_mmd = compute_mmd(true_samples, a_q.astype(jnp.float32))
             loss = loss + self.mmd_weight * loss_mmd
             aux["mmd"] = loss_mmd

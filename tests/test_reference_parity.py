@@ -442,3 +442,219 @@ def test_reverse_requirk_matches_reference(ref):
     # the two semantics agree to ~1e-6 — only a TRAINED encoder makes
     # them diverge. The intended-semantics path is pinned against torch
     # by test_reverse_ddim_trajectory_matches_reference above.)
+
+
+# ---------------------------------------------------------------------------
+# Composite loss-scalar parity (round-2 VERDICT missing #3): same weights,
+# same batch, same random draws -> the full loss_fn scalar agrees with the
+# torch reference for every regularizer combo (reference: models.py:632-696,
+# 753-762, 795-819). The four random draws (t, eps, reparam, prior) are
+# forced equal on both sides: torch via monkeypatched torch.randint /
+# torch.randn_like, ours via the loss_fn injection kwargs.
+# ---------------------------------------------------------------------------
+
+import contextlib
+from collections import deque
+
+
+@contextlib.contextmanager
+def _forced_draws(torch, t=None, randn_arrays=()):
+    """Force torch.randint -> `t` and make successive torch.randn_like
+    calls pop `randn_arrays` in order (shapes are asserted)."""
+    q = deque(randn_arrays)
+    orig_randint, orig_randn_like = torch.randint, torch.randn_like
+
+    def fake_randint(low, high, size, **kw):
+        assert t is not None and tuple(size) == t.shape
+        return torch.from_numpy(t)
+
+    def fake_randn_like(x, **kw):
+        arr = q.popleft()
+        assert tuple(x.shape) == arr.shape, (x.shape, arr.shape)
+        return torch.from_numpy(arr)
+
+    torch.randint, torch.randn_like = fake_randint, fake_randn_like
+    try:
+        yield
+    finally:
+        torch.randint, torch.randn_like = orig_randint, orig_randn_like
+    assert not q, "unconsumed forced draws"
+
+
+@pytest.mark.parametrize(
+    "mmd_w,kld_w,use_C,curr_epoch",
+    [
+        (0.1, 0.0, False, 0),   # MMD only (routes a, MMD target a)
+        (0.0, 1e-3, False, 0),  # KLD only (routes a_q, batch-summed KLD)
+        (0.1, 1e-3, False, 0),  # both (routes a_q, MMD target mu)
+        (0.0, 1e-3, True, 1),   # KLD + capacity control
+        (0.1, 1e-3, True, 1),   # both + capacity control
+    ],
+)
+def test_infodiff_composite_loss_matches_reference(
+    ref, mmd_w, kld_w, use_C, curr_epoch
+):
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args(mmd_weight=mmd_w, kld_weight=kld_w, use_C=use_C)
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = InfoDiff(
+        T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE), unets_channels=CH,
+        encoder_channels=CH, epochs=2, mmd_weight=mmd_w, kld_weight=kld_w,
+        use_C=use_C, C_max=25.0, prior="regular",
+    )
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    t = rng.randint(0, T, (B,)).astype(np.int64)
+    eps = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    rep = rng.randn(B, A_DIM).astype(np.float32)
+    prior = rng.randn(B, A_DIM).astype(np.float32)
+
+    # torch draw order inside loss_fn: eps (forward), reparam (encoder),
+    # then — only when MMD is active — the regular-prior draw
+    randn_arrays = [eps, rep] + ([prior] if mmd_w != 0 else [])
+    with torch.no_grad(), _forced_draws(torch, t=t, randn_arrays=randn_arrays):
+        want = float(
+            rm.loss_fn(args, torch.from_numpy(x), curr_epoch=curr_epoch)
+        )
+
+    loss, _aux = model.apply(
+        {"params": v["params"]}, jnp.asarray(_nhwc(x)), curr_epoch,
+        method=InfoDiff.loss_fn, deterministic=True,
+        t=jnp.asarray(t), eps=jnp.asarray(_nhwc(eps)),
+        reparam_eps=jnp.asarray(rep),
+        prior_samples=(jnp.asarray(prior) if mmd_w != 0 else None),
+    )
+    np.testing.assert_allclose(want, float(loss), atol=1e-4, rtol=1e-4)
+
+
+def test_latent_diff_composite_loss_matches_reference(ref):
+    """Latent Diff loss (eps-MSE over [B, a_dim] vectors with the 2-D
+    alpha_bar broadcast, reference: models.py:753-771)."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import Diff
+
+    torch = ref.torch
+    args = _args(is_latent=True)
+    rm = ref.models.Diff(args, "cpu", shape=(1, A_DIM, A_DIM)).eval()
+
+    model = Diff(T=T, shape=(1, A_DIM, A_DIM), is_latent=True)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, A_DIM)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+    rng = np.random.RandomState(12)
+    z = rng.randn(B, A_DIM).astype(np.float32)
+    t = rng.randint(0, T, (B,)).astype(np.int64)
+    eps = rng.randn(B, A_DIM).astype(np.float32)
+    with torch.no_grad(), _forced_draws(torch, t=t, randn_arrays=[eps]):
+        want = float(rm.loss_fn(args, torch.from_numpy(z)))
+    loss, _aux = model.apply(
+        {"params": v["params"]}, jnp.asarray(z), 0, method=Diff.loss_fn,
+        deterministic=True, t=jnp.asarray(t), eps=jnp.asarray(eps),
+    )
+    np.testing.assert_allclose(want, float(loss), atol=1e-4, rtol=1e-4)
+
+
+def test_vanilla_diff_composite_loss_matches_reference(ref):
+    """Vanilla image-UNet Diff loss. The reference UNet cannot be
+    constructed as-is (dead crossattn kwarg, PARITY.md D14) — shimmed
+    like test_vanilla_unet_matches_reference."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import Diff
+
+    torch = ref.torch
+    args = _args(model="vanilla")
+    orig = ref.models.ResBlock
+
+    class _Shim(orig):
+        def __init__(self, *a, crossattn=False, **k):
+            orig.__init__(self, *a, **k)
+
+    ref.models.ResBlock = _Shim
+    try:
+        rm = ref.models.Diff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+    finally:
+        ref.models.ResBlock = orig
+
+    model = Diff(T=T, shape=(1, SIZE, SIZE), unets_channels=CH)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+    rng = np.random.RandomState(13)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    t = rng.randint(0, T, (B,)).astype(np.int64)
+    eps = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    with torch.no_grad(), _forced_draws(torch, t=t, randn_arrays=[eps]):
+        want = float(rm.loss_fn(args, torch.from_numpy(x)))
+    loss, _aux = model.apply(
+        {"params": v["params"]}, jnp.asarray(_nhwc(x)), 0,
+        method=Diff.loss_fn, deterministic=True,
+        t=jnp.asarray(t), eps=jnp.asarray(_nhwc(eps)),
+    )
+    np.testing.assert_allclose(want, float(loss), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "mmd_w,kld_w,use_C,curr_epoch",
+    [
+        (0.1, 0.0, False, 0),   # InfoVAE: recon from a_q + MMD(N, a_q)
+        (0.0, 1e-3, False, 0),  # beta-VAE: batch-MEAN KLD
+        (0.0, 1e-3, True, 1),   # beta-VAE + capacity control
+    ],
+)
+def test_vae_composite_loss_matches_reference(
+    ref, mmd_w, kld_w, use_C, curr_epoch
+):
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import VAE
+
+    torch = ref.torch
+    args = _args(mmd_weight=mmd_w, kld_weight=kld_w, use_C=use_C,
+                 model="vae")
+    rm = ref.models.VAE(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = VAE(a_dim=A_DIM, shape=(1, SIZE, SIZE), encoder_channels=CH,
+                mmd_weight=mmd_w, kld_weight=kld_w, use_C=use_C,
+                C_max=25.0, epochs=2)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=VAE.loss_fn),
+        _sd(rm),
+    )
+    rng = np.random.RandomState(14)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    rep = rng.randn(B, A_DIM).astype(np.float32)
+    prior = rng.randn(B, A_DIM).astype(np.float32)
+    randn_arrays = [rep] + ([prior] if mmd_w != 0 else [])
+    with torch.no_grad(), _forced_draws(torch, randn_arrays=randn_arrays):
+        want = float(
+            rm.loss_fn(args, torch.from_numpy(x), curr_epoch=curr_epoch)
+        )
+    loss, _aux = model.apply(
+        {"params": v["params"]}, jnp.asarray(_nhwc(x)), curr_epoch,
+        method=VAE.loss_fn, deterministic=True,
+        reparam_eps=jnp.asarray(rep),
+        prior_samples=(jnp.asarray(prior) if mmd_w != 0 else None),
+    )
+    np.testing.assert_allclose(want, float(loss), atol=1e-4, rtol=1e-4)
