@@ -109,6 +109,15 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
                    help="tensor-parallel size (the mesh's 'model' axis; "
                         "weights shard on output features, composes with "
                         "--fsdp)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages for train_latent_ddim "
+                        "(GPipe over a 'stage' mesh axis; the LatentUNet's "
+                        "8 homogeneous middle layers partition cleanly)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel size for attention: shard the "
+                        "H*W token axis over a 'seq' mesh axis (ring "
+                        "attention) when the token count is large enough "
+                        "(INFODIFF_SP_MIN_TOKENS, default 1024)")
     p.add_argument("--async_ckpt", action="store_true",
                    help="non-blocking checkpoint writes (Orbax async; "
                         "barriered at train end / preemption)")

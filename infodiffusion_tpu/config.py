@@ -111,6 +111,14 @@ class Config:
     # Tensor parallelism: size of the mesh's 'model' axis (1 = off).
     # Weights shard on their output-feature dim; composes with --fsdp.
     tp: int = 1
+    # Pipeline parallelism: GPipe stages for train_latent_ddim (1 = off).
+    # The LatentUNet's homogeneous middle stack partitions cleanly
+    # (parallel/pp.py:make_pp_train_step).
+    pp: int = 1
+    # Sequence parallelism: ring-attention shards for the attention token
+    # axis (1 = off). Engages when H*W at the attn level reaches
+    # INFODIFF_SP_MIN_TOKENS (default 1024 — the 128px+ regime).
+    sp: int = 1
     # Async checkpointing: Orbax snapshots device memory synchronously,
     # persists in the background — the train loop keeps stepping during
     # the write (barriered at train end / preemption).

@@ -136,12 +136,12 @@ def stack_latent_middle(params: Any, lo: int = 1, hi: int = 9) -> Any:
     return jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
 
 
-def _mid_layer(pl, h, x, cond, dtype):
-    """One middle MLPLNAct layer, functionally (must match
-    nn/blocks.py:MLPLNAct with norm=True, use_cond=True,
-    activation='silu', condition_bias=1.0; dropout is a no-op in the
-    deterministic eval path this demo covers)."""
-    hin = jnp.concatenate([h, x], axis=-1).astype(dtype)
+def _mlpln_layer(pl, hin, cond, dtype, mask=None):
+    """One conditioned MLPLNAct, functionally, on a pre-assembled input
+    (must match nn/blocks.py:MLPLNAct with norm=True, use_cond=True,
+    activation='silu', condition_bias=1.0). ``mask`` is an optional
+    precomputed inverted-dropout mask (bernoulli/keep_prob) applied
+    after the activation, exactly where flax's nn.Dropout sits."""
     y = hin @ pl["linear"]["kernel"].astype(dtype) + pl["linear"]["bias"].astype(dtype)
     c = (
         jax.nn.silu(cond).astype(dtype) @ pl["linear_emb"]["kernel"].astype(dtype)
@@ -153,7 +153,17 @@ def _mid_layer(pl, h, x, cond, dtype):
     var = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) - jnp.square(mu)
     yf = (yf - mu) * lax.rsqrt(var + 1e-5)
     yf = yf * pl["norm"]["scale"] + pl["norm"]["bias"]
-    return jax.nn.silu(yf.astype(dtype))
+    y = jax.nn.silu(yf.astype(dtype))
+    if mask is not None:
+        y = y * mask.astype(dtype)
+    return y
+
+
+def _mid_layer(pl, h, x, cond, dtype, mask=None):
+    """One middle LatentUNet layer: input skip-concat then MLPLNAct
+    (models/latent_unet.py; reference: models.py:229-233)."""
+    hin = jnp.concatenate([h, x], axis=-1).astype(dtype)
+    return _mlpln_layer(pl, hin, cond, dtype, mask)
 
 
 def latent_mid_stage_fn(layers_per_stage: int, dtype=jnp.float32):
@@ -193,3 +203,214 @@ def reshape_for_stages(stacked: Any, n_stages: int) -> Any:
         return leaf.reshape((n_stages, L // n_stages) + leaf.shape[1:])
 
     return jax.tree.map(r, stacked)
+
+
+# ---------------------------------------------------------------------------
+# Product path: CLI-driven pipelined latent-DDIM training (--pp N).
+#
+# The LatentUNet is the one reference model that partitions cleanly: its
+# 8 middle layers are homogeneous (models/latent_unet.py; reference:
+# models.py:166-234). `latent_pp_forward` runs the full denoiser with
+# layers 1..8 executed by the GPipe ring above, and `make_pp_train_step`
+# wraps it in the same loss/update step as train/step.py. Dropout is
+# functional here (precomputed inverted-dropout masks riding with each
+# microbatch), so training semantics match the non-pipelined step;
+# deterministic=True makes the forward exactly equal to the flax module
+# (guarded by test_pp + dryrun_multichip).
+# ---------------------------------------------------------------------------
+
+
+def latent_pp_stage_fn(layers_per_stage: int, dtype=jnp.float32,
+                       with_masks: bool = False):
+    """stage_fn for `latent_pp_forward`: stage params are
+    {'layers': [lps, ...]-leaf pytree, 'idx': scalar stage index}; aux is
+    (x_mb, cond_mb[, masks_mb]) with masks_mb [mb, L_total, D]."""
+
+    def stage_fn(p, h, aux):
+        idx = p["idx"]
+        if with_masks:
+            x, cond, masks = aux
+        else:
+            x, cond = aux
+            masks = None
+
+        def one(h_, inp):
+            pl, j = inp
+            m = None
+            if masks is not None:
+                m = lax.dynamic_index_in_dim(
+                    masks, idx * layers_per_stage + j, axis=1, keepdims=False
+                )
+            return _mid_layer(pl, h_, x, cond, dtype, mask=m), None
+
+        h, _ = lax.scan(one, h, (p["layers"], jnp.arange(layers_per_stage)))
+        return h
+
+    return stage_fn
+
+
+def latent_pp_forward(
+    bb_params: Any,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    axis: str = STAGE_AXIS,
+    deterministic: bool = True,
+    dropout_rng=None,
+    dropout: float = 0.1,
+    num_layers: int = 10,
+    time_emb_ch: int = 64,
+    dtype=jnp.float32,
+):
+    """Full LatentUNet forward ([B, d] latents) with the middle stack
+    pipelined over the 'stage' mesh axis. ``bb_params`` is the
+    LatentUNet param subtree (state.params['backbone']); numerics match
+    models/latent_unet.py exactly when deterministic."""
+    import jax.random as jr
+
+    from infodiffusion_tpu.nn.embeddings import timestep_embedding
+
+    B, d = x.shape
+    S = int(mesh.shape[axis])
+    M = int(microbatches)
+    if B % M:
+        raise ValueError(
+            f"batch size {B} must be divisible by the microbatch count {M} "
+            f"(--pp pipelining)"
+        )
+    L = num_layers - 2  # homogeneous middle layers
+    if L % S:
+        raise ValueError(
+            f"{L} middle layers do not split over {S} pipeline stages"
+        )
+    lps = L // S
+
+    # time embed: sinusoid(64) -> Dense(d) -> SiLU -> Dense(d)
+    temb = timestep_embedding(t, time_emb_ch).astype(dtype)
+    for i in range(2):
+        w = bb_params[f"time_embed_{i}"]
+        temb = temb @ w["kernel"].astype(dtype) + w["bias"].astype(dtype)
+        if i == 0:
+            temb = jax.nn.silu(temb)
+
+    use_masks = (not deterministic) and dropout > 0.0
+    mask0 = masks = None
+    if use_masks:
+        assert dropout_rng is not None, "dropout requires dropout_rng"
+        kp = 1.0 - dropout
+        k0, km = jr.split(dropout_rng)
+        D = 4 * d
+        mask0 = jr.bernoulli(k0, kp, (B, D)).astype(jnp.float32) / kp
+        masks = jr.bernoulli(km, kp, (B, L, D)).astype(jnp.float32) / kp
+
+    # layer 0: MLPLNAct on x alone (no skip concat yet)
+    h = _mlpln_layer(bb_params["layer_0"], x.astype(dtype), temb, dtype, mask0)
+
+    mb = B // M
+    h0 = h.reshape(M, mb, -1)
+    aux = (x.reshape(M, mb, d).astype(dtype), temb.reshape(M, mb, -1))
+    if use_masks:
+        aux = aux + (masks.reshape(M, mb, L, -1),)
+
+    stacked = stack_latent_middle(bb_params, 1, num_layers - 1)
+    staged = reshape_for_stages(stacked, S)
+    sp = {"layers": staged, "idx": jnp.arange(S)}
+    out = gpipe(
+        latent_pp_stage_fn(lps, dtype, with_masks=use_masks), sp, h0, aux,
+        mesh=mesh, axis=axis,
+    )
+    h = out.reshape(B, -1)
+
+    # final layer: skip-concat -> Dense, no norm/act/cond/dropout
+    w = bb_params[f"layer_{num_layers - 1}"]["linear"]
+    hin = jnp.concatenate([h, x.astype(dtype)], axis=-1)
+    return hin @ w["kernel"].astype(dtype) + w["bias"].astype(dtype)
+
+
+def pp_latent_loss(
+    params: Any,
+    x_tilde: jnp.ndarray,
+    t: jnp.ndarray,
+    eps: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    deterministic: bool = True,
+    dropout_rng=None,
+    dtype=jnp.float32,
+):
+    """eps-MSE of the pipelined latent denoiser — the same loss as
+    Diff.loss_fn(is_latent) on pre-noised inputs (reference:
+    models.py:753-762)."""
+    out = latent_pp_forward(
+        params["backbone"], x_tilde, t, mesh=mesh,
+        microbatches=microbatches, deterministic=deterministic,
+        dropout_rng=dropout_rng, dtype=dtype,
+    )
+    return jnp.mean(
+        jnp.square(out.astype(jnp.float32) - eps.astype(jnp.float32))
+    )
+
+
+def make_pp_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    microbatches: int,
+    ema_decay: float = 0.0,
+    deterministic_dropout_off: bool = False,
+):
+    """Jitted pipelined train step for the latent Diff model — the --pp
+    counterpart of train/step.py:make_train_step (same optimizer wiring,
+    same (seed, step)-reproducible RNG discipline; the dropout mask bits
+    come from a different stream than flax's nn.Dropout, which carries no
+    semantics). ``deterministic_dropout_off`` turns dropout off, making
+    the step numerically comparable to a no-dropout sequential step (used
+    by the dryrun equivalence check)."""
+    import jax.random as jr
+    import optax
+
+    from infodiffusion_tpu.diffusion.schedule import make_schedule, q_sample
+    from infodiffusion_tpu.train.step import _dropout_key
+
+    sched = make_schedule(model.beta1, model.betaT, model.T)
+    dtype = model.dtype
+
+    def step_fn(state, batch, curr_epoch):
+        del curr_epoch  # latent Diff loss has no capacity annealing
+        k = jr.fold_in(state.rng, state.step)
+        k_noise, k_drop = jr.split(k)
+        k_t, k_eps = jr.split(k_noise)
+        B = batch.shape[0]
+        t = jr.randint(k_t, (B,), 0, model.T)
+        eps = jr.normal(k_eps, batch.shape, batch.dtype)
+        x_tilde = q_sample(sched, batch, t, eps)
+
+        def loss_fn(params):
+            return pp_latent_loss(
+                params, x_tilde, t, eps, mesh=mesh,
+                microbatches=microbatches,
+                deterministic=deterministic_dropout_off,
+                dropout_rng=_dropout_key(k_drop), dtype=dtype,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_decay > 0.0 and ema_params is not None:
+            d_ = ema_decay
+            ema_params = jax.tree.map(
+                lambda e, p: e * d_ + p * (1.0 - d_), ema_params, params
+            )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema_params,
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "denoise": loss}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))

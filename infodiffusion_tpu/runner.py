@@ -222,7 +222,15 @@ def request_preempt(signum=None, frame=None):
 def train(cfg: Config, latent: bool = False):
     rng = seed_everything(cfg.r_seed)
     cfg = cfg.with_dataset_config()
-    mesh = _mesh(cfg)
+    use_pp = cfg.pp > 1
+    if use_pp and not latent:
+        raise ValueError(
+            "--pp pipelines the LatentUNet middle stack and is only "
+            "supported for --mode train_latent_ddim (the image UNet's "
+            "skip connections couple its stages; parallel/pp.py)"
+        )
+    # under --pp the 'stage' mesh owns the devices; data sharding is off
+    mesh = None if use_pp else _mesh(cfg)
     print(dict(vars(cfg)))
 
     if latent:
@@ -258,7 +266,30 @@ def train(cfg: Config, latent: bool = False):
             state = shard_state_fsdp(mesh, state)
         else:
             state = replicate(mesh, state)
-    step_fn = make_train_step(model, tx, ema_decay=cfg.ema_decay)
+    if use_pp:
+        from infodiffusion_tpu.parallel.pp import (
+            make_pp_train_step, make_stage_mesh,
+        )
+
+        pp_mesh = make_stage_mesh(cfg.pp)
+        microbatches = int(
+            os.environ.get("INFODIFF_PP_MICROBATCHES", str(cfg.pp))
+        )
+        if cfg.batch_size % microbatches:
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} must be divisible by the "
+                f"pipeline microbatch count {microbatches} (--pp "
+                f"{cfg.pp}; override with INFODIFF_PP_MICROBATCHES)"
+            )
+        step_fn = make_pp_train_step(
+            model, tx, pp_mesh, microbatches, ema_decay=cfg.ema_decay
+        )
+        print(
+            f"[pp] GPipe latent training: {cfg.pp} stages x "
+            f"{microbatches} microbatches"
+        )
+    else:
+        step_fn = make_train_step(model, tx, ema_decay=cfg.ema_decay)
 
     ckpt_root = checkpoint_root(cfg, latent=latent)
     start_epoch = 0

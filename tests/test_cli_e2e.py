@@ -289,3 +289,22 @@ def test_plot_latent_string_attrs(workdir, monkeypatch):
                  a_dim=4, dataset="chairs", mmd_weight=0.1)
     path = runner._mode_plot_latent(cfg, None, None)
     assert os.path.exists(path)
+
+
+def test_train_latent_ddim_pp(workdir):
+    """--pp 2: CLI-driven GPipe-pipelined latent training on the virtual
+    multi-device mesh (round-2 VERDICT #4) — checkpoint lands in the
+    same layout as the sequential path."""
+    a = np.random.RandomState(0).randn(64, 8).astype(np.float32)
+    np.savez("diff_mnist_8d_0_1mmd_latent", all_a=a, all_attr=np.zeros(64))
+    cfg = parse_args(_args([
+        "--model", "diff", "--mode", "train_latent_ddim", "--pp", "2",
+    ]))
+    dispatch(cfg)
+    assert os.path.isdir("models/mnist_8d_0.1mmd_latent/model-1")
+
+
+def test_pp_rejects_image_training(workdir):
+    cfg = parse_args(_args(["--model", "diff", "--pp", "2"]))
+    with pytest.raises(ValueError, match="train_latent_ddim"):
+        dispatch(cfg)

@@ -126,3 +126,144 @@ def test_gpipe_gradients_match_sequential():
         ),
         g1, g2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product path: --pp pipelined latent-DDIM training (round-2 VERDICT #4)
+# ---------------------------------------------------------------------------
+
+
+def test_latent_pp_forward_matches_module():
+    """Full pipelined LatentUNet forward (time embed + layer 0 + gpipe
+    middle + final layer) == the flax module, deterministic."""
+    from infodiffusion_tpu.parallel.pp import latent_pp_forward
+
+    model, params = _params()
+    B = 8
+    k1, k2 = jr.split(jr.PRNGKey(3))
+    x = jr.normal(k1, (B, D))
+    t = jr.randint(k2, (B,), 0, 16)
+    want = model.apply({"params": params}, x, t, deterministic=True)
+    got = latent_pp_forward(
+        params, x, t, mesh=make_stage_mesh(N_STAGES), microbatches=4,
+    )
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-5)
+
+
+def test_pp_latent_loss_matches_diff_loss():
+    """pp_latent_loss == Diff.loss_fn(is_latent) on the same injected
+    (t, eps), deterministic (reference loss: models.py:753-762)."""
+    from infodiffusion_tpu.diffusion.schedule import make_schedule, q_sample
+    from infodiffusion_tpu.models import Diff
+    from infodiffusion_tpu.parallel.pp import pp_latent_loss
+
+    model = Diff(T=16, shape=(1, D, D), is_latent=True)
+    v = model.init(
+        {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1)},
+        jnp.zeros((2, D)), jnp.zeros((2,), jnp.int32),
+    )
+    B = 8
+    k1, k2, k3 = jr.split(jr.PRNGKey(4), 3)
+    x = jr.normal(k1, (B, D))
+    t = jr.randint(k2, (B,), 0, 16)
+    eps = jr.normal(k3, (B, D))
+    want, _ = model.apply(
+        {"params": v["params"]}, x, 0, method=Diff.loss_fn,
+        deterministic=True, t=t, eps=eps,
+    )
+    sched = make_schedule(1e-5, 1e-2, 16)
+    got = pp_latent_loss(
+        v["params"], q_sample(sched, x, t, eps), t, eps,
+        mesh=make_stage_mesh(N_STAGES), microbatches=4,
+    )
+    np.testing.assert_allclose(float(want), float(got), atol=1e-6, rtol=1e-6)
+
+
+def test_pp_grads_match_sequential_loss():
+    """Gradients of the pipelined loss == gradients of Diff.loss_fn on
+    the same (t, eps) — pipelined TRAINING is numerically the plain
+    step."""
+    from infodiffusion_tpu.diffusion.schedule import make_schedule, q_sample
+    from infodiffusion_tpu.models import Diff
+    from infodiffusion_tpu.parallel.pp import pp_latent_loss
+
+    model = Diff(T=16, shape=(1, D, D), is_latent=True)
+    v = model.init(
+        {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1)},
+        jnp.zeros((2, D)), jnp.zeros((2,), jnp.int32),
+    )
+    B = 8
+    k1, k2, k3 = jr.split(jr.PRNGKey(5), 3)
+    x = jr.normal(k1, (B, D))
+    t = jr.randint(k2, (B,), 0, 16)
+    eps = jr.normal(k3, (B, D))
+    sched = make_schedule(1e-5, 1e-2, 16)
+    x_tilde = q_sample(sched, x, t, eps)
+
+    g_seq = jax.grad(
+        lambda p: model.apply(
+            {"params": p}, x, 0, method=Diff.loss_fn,
+            deterministic=True, t=t, eps=eps,
+        )[0]
+    )(v["params"])
+    g_pp = jax.grad(
+        lambda p: pp_latent_loss(
+            p, x_tilde, t, eps, mesh=make_stage_mesh(N_STAGES),
+            microbatches=4,
+        )
+    )(v["params"])
+    flat_seq = jax.tree.leaves(g_seq)
+    flat_pp = jax.tree.leaves(g_pp)
+    assert len(flat_seq) == len(flat_pp)
+    for a, b in zip(flat_seq, flat_pp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_make_pp_train_step_runs_and_matches():
+    """One --pp train step: (a) the dropout-off step's loss equals the
+    sequential no-dropout loss on the step's own derived (t, eps);
+    (b) the real (dropout-on) step runs finite."""
+    from infodiffusion_tpu.diffusion.schedule import make_schedule, q_sample
+    from infodiffusion_tpu.models import Diff
+    from infodiffusion_tpu.parallel.pp import make_pp_train_step
+    from infodiffusion_tpu.train import create_train_state, make_optimizer
+
+    model = Diff(T=16, shape=(1, D, D), is_latent=True)
+    B = 8
+    x = jr.normal(jr.PRNGKey(6), (B, D))
+    tx = make_optimizer(1e-4, 2, 4)
+    state = create_train_state(model, jr.PRNGKey(0), x, tx)
+    mesh = make_stage_mesh(N_STAGES)
+    # the step donates its input state — keep host copies for the oracle
+    rng0 = jax.tree.map(np.asarray, state.rng)
+    params0 = jax.tree.map(np.asarray, state.params)
+    step0 = int(state.step)
+
+    step_det = make_pp_train_step(
+        model, tx, mesh, microbatches=4, deterministic_dropout_off=True
+    )
+    new_state, metrics = step_det(state, x, 0)
+    assert int(new_state.step) == 1
+
+    # reproduce the step's internal draws and check the loss scalar
+    k = jr.fold_in(jnp.asarray(rng0), step0)
+    k_noise, _k_drop = jr.split(k)
+    k_t, k_eps = jr.split(k_noise)
+    t = jr.randint(k_t, (B,), 0, 16)
+    eps = jr.normal(k_eps, x.shape, x.dtype)
+    want, _ = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params0)}, x, 0,
+        method=Diff.loss_fn, deterministic=True, t=t, eps=eps,
+    )
+    np.testing.assert_allclose(float(want), float(metrics["loss"]),
+                               atol=1e-6, rtol=1e-6)
+
+    # the real step (functional dropout masks riding with microbatches)
+    state2 = create_train_state(model, jr.PRNGKey(0), x, tx)
+    step = make_pp_train_step(model, tx, mesh, microbatches=4)
+    _, m2 = step(state2, x, 0)
+    assert np.isfinite(float(m2["loss"]))
+    # dropout perturbs, it does not transform: same order of magnitude
+    assert abs(float(m2["loss"]) - float(metrics["loss"])) < 1.0
