@@ -41,7 +41,21 @@ def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
 def single_head_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
-    """q, k, v: [B, N, C] -> [B, N, C] (reference: modules.py:152-160)."""
+    """q, k, v: [B, N, C] -> [B, N, C] (reference: modules.py:152-160).
+
+    When a sequence-parallel context is configured (CLI --sp /
+    parallel.sp.sp_scope) and the token count reaches the threshold,
+    the computation runs as ring attention with tokens sharded over the
+    'seq' mesh axis (parallel/ring_attention.py) — numerically the same
+    softmax(q k^T / sqrt(C)) v up to f32 reassociation."""
+    from infodiffusion_tpu.parallel import sp
+
+    route = sp.sp_route(q.shape[1])
+    if route is not None:
+        from infodiffusion_tpu.parallel.ring_attention import ring_attention
+
+        mesh, axis = route
+        return ring_attention(q, k, v, mesh=mesh, axis=axis)
     if _use_pallas():
         from infodiffusion_tpu.ops.pallas.attention import attention_pallas
 

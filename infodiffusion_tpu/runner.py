@@ -110,6 +110,25 @@ def _mesh(cfg: Config):
     return make_mesh(cfg.mesh_devices, model_parallel=cfg.tp)
 
 
+def _configure_sp(cfg: Config):
+    """Arm (or clear) the global sequence-parallel attention context
+    (--sp N): AttnBlock's softmax(q k^T) v runs as ring attention over a
+    'seq' mesh axis once the token count reaches the threshold
+    (parallel/sp.py; reference attention: modules.py:145-164)."""
+    from infodiffusion_tpu.parallel.sp import configure_sp
+
+    if getattr(cfg, "sp", 1) > 1:
+        from infodiffusion_tpu.parallel.ring_attention import make_seq_mesh
+
+        configure_sp(make_seq_mesh(cfg.sp))
+        print(
+            f"[sp] ring attention armed: {cfg.sp}-way 'seq' mesh axis, "
+            f">= {os.environ.get('INFODIFF_SP_MIN_TOKENS', '1024')} tokens"
+        )
+    else:
+        configure_sp(None)
+
+
 def _loader(cfg: Config, mesh=None, with_attrs=False, shuffle=None):
     ds = get_dataset(cfg)
     flip, shuf = dataset_flags(cfg.dataset)
@@ -229,8 +248,9 @@ def train(cfg: Config, latent: bool = False):
             "supported for --mode train_latent_ddim (the image UNet's "
             "skip connections couple its stages; parallel/pp.py)"
         )
-    # under --pp the 'stage' mesh owns the devices; data sharding is off
-    mesh = None if use_pp else _mesh(cfg)
+    _configure_sp(cfg)
+    # under --pp/--sp another mesh owns the devices; data sharding is off
+    mesh = None if (use_pp or cfg.sp > 1) else _mesh(cfg)
     print(dict(vars(cfg)))
 
     if latent:
@@ -455,10 +475,12 @@ def evaluate(cfg: Config):
 
     require_single_process(f"--mode {cfg.mode}")
     rng = seed_everything(cfg.r_seed)
+    _configure_sp(cfg)
     cfg, model, variables = _build_eval(cfg)
     mode = cfg.mode
 
-    mesh = _mesh(cfg)
+    # --sp owns the devices as the 'seq' axis; data-sharded eval is off
+    mesh = None if cfg.sp > 1 else _mesh(cfg)
     process = None
     if cfg.model in ("diff", "vanilla"):
         process = DiffusionProcess(cfg, model, variables, mesh=mesh)
