@@ -276,6 +276,15 @@ def main():
         "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3),
     }
     variables = jax.jit(lambda: model.init(rngs, x, t0, a0))()
+    # INFODIFF_TURBO=int8: W8A8 conv tier (ops/quant.py). Emits its own
+    # metric name — the headline series the driver records stays bf16.
+    turbo = os.environ.get("INFODIFF_TURBO", "")
+    if turbo:
+        from infodiffusion_tpu.ops.quant import calibrate
+
+        variables = calibrate(
+            model, variables, (size, size, 3), a_dim=256, T=1000
+        )
     sched = make_schedule(1e-5, 1e-2, 1000)
 
     def eps_fn(variables):
@@ -317,6 +326,8 @@ def main():
         if size == 64
         else f"ddim100_samples_per_sec_{size}px"
     )
+    if turbo:
+        metric += f"_{turbo}turbo"
     print(
         json.dumps(
             {

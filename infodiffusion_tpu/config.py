@@ -94,6 +94,11 @@ class Config:
     # Number of sampler steps; None => full T grid like the reference
     # (sampling.py always iterates all T=1000 steps).
     sampling_steps: Optional[int] = None
+    # Turbo inference tier for the image samplers: '' = off (normal
+    # dtype policy), 'int8' = W8A8 conv tier on the MXU with scales
+    # calibrated at sampler construction (ops/quant.py). Falls back to
+    # the INFODIFF_TURBO env var when unset.
+    turbo: str = ""
     # bf16 activations in the backbone (schedule math stays f32).
     bf16: bool = False
     # Data-parallel mesh size; None => all local devices.
@@ -156,6 +161,10 @@ class Config:
         if self.dataset not in DATASETS:
             raise ValueError(
                 f"dataset must be one of {DATASETS}, got {self.dataset!r}"
+            )
+        if self.turbo not in ("", "int8"):
+            raise ValueError(
+                f"turbo must be '' or 'int8', got {self.turbo!r}"
             )
 
     def with_dataset_config(self) -> "Config":

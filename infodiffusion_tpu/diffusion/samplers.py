@@ -251,6 +251,18 @@ def _requirk_eps_fn(model, params, key, r_seed):
     return eps_fn
 
 
+def _resolve_turbo(cfg, turbo):
+    """Explicit arg > cfg.turbo > INFODIFF_TURBO env; '' = off."""
+    from infodiffusion_tpu.ops.quant import turbo_mode
+
+    mode = turbo if turbo is not None else (
+        getattr(cfg, "turbo", "") or turbo_mode()
+    )
+    if mode not in ("", "int8"):
+        raise ValueError(f"unknown turbo mode {mode!r} (expected '' or 'int8')")
+    return mode
+
+
 class DiffusionProcess:
     """API-parity wrapper (reference: sampling.py:3-101).
 
@@ -258,9 +270,13 @@ class DiffusionProcess:
     ``sampling`` draws xT ~ N(0, I) (and a ~ N(0, I_a) for conditional
     models) when not given, like the reference (sampling.py:89-101).
     ``mesh``: optional data mesh — sampling batches shard over it.
+    ``turbo='int8'`` (or --turbo int8 / INFODIFF_TURBO=int8) calibrates
+    activation scales once at construction and runs the UNet conv tier
+    W8A8 on the MXU (ops/quant.py) — a beyond-reference inference mode.
     """
 
-    def __init__(self, cfg, model, params, shape=None, mesh=None):
+    def __init__(self, cfg, model, params, shape=None, mesh=None,
+                 turbo=None):
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -269,6 +285,17 @@ class DiffusionProcess:
         c, h, w = shape if shape is not None else cfg.shape
         self.data_shape = (h, w, c)
         self.is_conditional = cfg.model != "vanilla"
+        self.turbo = _resolve_turbo(cfg, turbo)
+        if self.turbo:
+            from infodiffusion_tpu.ops.quant import calibrate
+
+            # adds the 'quant' collection; every jitted trajectory below
+            # sees the new pytree structure and traces the int8 path
+            self.params = calibrate(
+                model, self.params, self.data_shape,
+                a_dim=cfg.a_dim if self.is_conditional else None,
+                T=cfg.diffusion_steps,
+            )
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
@@ -346,13 +373,25 @@ class TwoPhaseDiffusionProcess:
     conditional InfoDiff, fn_2 the unconditional vanilla Diff."""
 
     def __init__(self, cfg, model1, params1, model2, params2, shape=None,
-                 mesh=None):
+                 mesh=None, turbo=None):
         self.cfg = cfg
         self.mesh = mesh
         self.model1, self.params1 = model1, params1
         self.model2, self.params2 = model2, params2
         c, h, w = shape if shape is not None else cfg.shape
         self.data_shape = (h, w, c)
+        self.turbo = _resolve_turbo(cfg, turbo)
+        if self.turbo:
+            from infodiffusion_tpu.ops.quant import calibrate
+
+            self.params1 = calibrate(
+                model1, params1, self.data_shape, a_dim=cfg.a_dim,
+                T=cfg.diffusion_steps,
+            )
+            self.params2 = calibrate(
+                model2, params2, self.data_shape, a_dim=None,
+                T=cfg.diffusion_steps,
+            )
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)

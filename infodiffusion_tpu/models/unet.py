@@ -101,7 +101,9 @@ class _UNetSkeleton(nn.Module):
                 )(h, temb, det)
             raise ValueError(kind)
 
-        h = _conv3(self.ch, self.dtype, "head")(x)
+        # head/tail convs stay on the normal dtype policy in turbo mode
+        # (tiny FLOPs, quality-critical image boundary — ops/quant.py)
+        h = _conv3(self.ch, self.dtype, "head", quantize=False)(x)
         hs = [h]
         now_ch = self.ch
         # --- down path (reference: models.py:16-29) ---

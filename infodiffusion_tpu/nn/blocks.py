@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,18 +26,82 @@ from infodiffusion_tpu.nn.initializers import DEFAULT_KERNEL, zeros
 from infodiffusion_tpu.ops import adagn
 from infodiffusion_tpu.ops.norm import group_norm as gn_op
 from infodiffusion_tpu.ops.norm import group_norm_pieces as gn_pieces_op
+from infodiffusion_tpu.ops import quant as q8
 
 _GROUPS = 32
 
 
-def _conv3(features: int, dtype, name: str, strides: int = 1) -> nn.Conv:
-    # torch Conv2d(k=3, stride=s, padding=1) — explicit symmetric padding,
-    # not 'SAME' (asymmetric for stride 2), for exact spatial parity.
-    return nn.Conv(
-        features, (3, 3), strides=(strides, strides),
-        padding=((1, 1), (1, 1)),
-        kernel_init=DEFAULT_KERNEL, bias_init=zeros, dtype=dtype, name=name,
-    )
+class Conv3(nn.Module):
+    """torch Conv2d(k=3, stride=s, padding=1) — explicit symmetric
+    padding, not 'SAME' (asymmetric for stride 2), for exact spatial
+    parity. Param tree identical to ``nn.Conv`` (kernel [3,3,Cin,Cout] +
+    bias), so checkpoints are interchangeable.
+
+    int8 turbo tier (ops/quant.py): when a 'quant' variable collection is
+    mutable the call OBSERVES its input range (calibration); when the
+    collection is present read-only it runs the W8A8 int8 MXU path.
+    ``quantize=False`` pins quality-critical convs (the image head/tail)
+    to the normal dtype policy."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    strides: int = 1
+    quantize: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", DEFAULT_KERNEL, (3, 3, cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        s = (self.strides, self.strides)
+        pad = ((1, 1), (1, 1))
+        if (self.quantize and self.is_mutable_collection("quant")
+                and not self.is_initializing()):
+            q8.observe_absmax(self, x)
+        elif self.quantize and self.has_variable("quant", "act_absmax"):
+            absmax = self.variable("quant", "act_absmax").value
+            return q8.qconv3(x, kernel, bias, absmax, s, pad, self.dtype)
+        (kernel, bias, x) = nn.dtypes.promote_dtype(
+            kernel, bias, x, dtype=self.dtype
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel, s, pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y + bias
+
+
+def _conv3(features: int, dtype, name: str, strides: int = 1,
+           quantize: bool = True) -> Conv3:
+    return Conv3(features, dtype, strides, quantize, name=name)
+
+
+class QDense(nn.Module):
+    """``nn.Dense`` with the same int8 turbo tier as :class:`Conv3`
+    (used for the ResBlock 1x1 shortcut projection, which is HBM-bound —
+    the int8 input halves its read traffic). Param tree identical to
+    ``nn.Dense``."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", DEFAULT_KERNEL, (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        if self.is_mutable_collection("quant") and not self.is_initializing():
+            q8.observe_absmax(self, x)
+        elif self.has_variable("quant", "act_absmax"):
+            absmax = self.variable("quant", "act_absmax").value
+            return q8.qdense(x, kernel, bias, absmax, self.dtype)
+        (kernel, bias, x) = nn.dtypes.promote_dtype(
+            kernel, bias, x, dtype=self.dtype
+        )
+        return x @ kernel + bias
 
 
 def _as_pieces(x):
@@ -63,13 +128,30 @@ class _PieceConv3(nn.Module):
 
     @nn.compact
     def __call__(self, pieces):
-        import jax
-
         cin = sum(p.shape[-1] for p in pieces)
         kernel = self.param(
             "kernel", DEFAULT_KERNEL, (3, 3, cin, self.features), jnp.float32
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        if self.is_mutable_collection("quant") and not self.is_initializing():
+            q8.observe_absmax(self, pieces)
+        elif self.has_variable("quant", "act_absmax"):
+            # int8 tier: one weight scale per c_out (whole kernel), one
+            # act scale per PIECE; per-piece partials dequantized then
+            # summed in f32 (conv is linear over the channel concat).
+            absmax = self.variable("quant", "act_absmax").value
+            kq, sw = q8.quantize_weight(kernel, (0, 1, 2))
+            out = None
+            o = 0
+            for i, p in enumerate(pieces):
+                c = p.shape[-1]
+                pq, sx = q8.quantize_act(p, absmax[i])
+                y = q8.int8_conv(
+                    pq, kq[:, :, o : o + c, :], (1, 1), ((1, 1), (1, 1))
+                ).astype(jnp.float32) * (sx * sw)
+                out = y if out is None else out + y
+                o += c
+            return (out + bias.astype(jnp.float32)).astype(self.dtype)
         (kernel, bias, *pieces) = nn.dtypes.promote_dtype(
             kernel, bias, *pieces, dtype=self.dtype
         )
@@ -103,6 +185,24 @@ class _PieceDense(nn.Module):
             "kernel", DEFAULT_KERNEL, (cin, self.features), jnp.float32
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        if self.is_mutable_collection("quant") and not self.is_initializing():
+            q8.observe_absmax(self, pieces)
+        elif self.has_variable("quant", "act_absmax"):
+            absmax = self.variable("quant", "act_absmax").value
+            kq, sw = q8.quantize_weight(kernel, (0,))
+            out = None
+            o = 0
+            for i, p in enumerate(pieces):
+                c = p.shape[-1]
+                pq, sx = q8.quantize_act(p, absmax[i])
+                y = jax.lax.dot_general(
+                    pq, kq[o : o + c, :],
+                    (((pq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (sx * sw)
+                out = y if out is None else out + y
+                o += c
+            return (out + bias.astype(jnp.float32)).astype(self.dtype)
         (kernel, bias, *pieces) = nn.dtypes.promote_dtype(
             kernel, bias, *pieces, dtype=self.dtype
         )
@@ -158,10 +258,7 @@ def _residual_input(x, pieces, in_ch, out_ch, dtype):
     if in_ch != out_ch:
         if pieces is not None:
             return _PieceDense(out_ch, dtype, name="shortcut")(pieces)
-        return nn.Dense(
-            out_ch, kernel_init=DEFAULT_KERNEL, bias_init=zeros,
-            dtype=dtype, name="shortcut",
-        )(x)
+        return QDense(out_ch, dtype, name="shortcut")(x)
     if pieces is not None:
         return jnp.concatenate(pieces, axis=-1)
     return x

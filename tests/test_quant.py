@@ -1,0 +1,203 @@
+"""int8 "turbo" inference tier (ops/quant.py, nn/blocks.py).
+
+The reference has no quantized path (eager fp32 torch end to end) — this
+is a beyond-parity TPU capability, so the oracle is our own f32 path:
+W8A8 with per-output-channel weight scales and calibrated per-tensor
+activation scales must track the f32 forward within the quantization
+noise floor, calibration must not touch params, and the training path
+must never see the 'quant' collection.
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from infodiffusion_tpu.nn.blocks import Conv3, QDense, _PieceConv3
+from infodiffusion_tpu.ops import quant as q8
+
+
+def _rel_l2(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+
+
+def _calibrated(module, *args):
+    """init -> one observe pass -> merged variables with 'quant'."""
+    v = module.init(jr.PRNGKey(0), *args)
+    _, q = module.apply(v, *args, mutable=["quant"])
+    return v, {**v, **q}
+
+
+def test_quantize_weight_bounds():
+    k = jr.normal(jr.PRNGKey(0), (3, 3, 16, 32))
+    q, scale = q8.quantize_weight(k, (0, 1, 2))
+    assert q.dtype == jnp.int8 and scale.shape == (32,)
+    recovered = q.astype(jnp.float32) * scale
+    # symmetric rounding: per-element error <= scale/2 of that out-channel
+    err = jnp.abs(recovered - k)
+    assert bool(jnp.all(err <= scale / 2 + 1e-7))
+
+
+def test_conv3_int8_close_to_f32():
+    x = jr.normal(jr.PRNGKey(1), (2, 8, 8, 16))
+    m = Conv3(features=32)
+    v, vq = _calibrated(m, x)
+    ref = m.apply(v, x)
+    out = m.apply(vq, x)
+    assert _rel_l2(out, ref) < 0.02
+
+
+def test_conv3_stride2_int8_close():
+    x = jr.normal(jr.PRNGKey(2), (2, 8, 8, 16))
+    m = Conv3(features=16, strides=2)
+    v, vq = _calibrated(m, x)
+    ref = m.apply(v, x)
+    out = m.apply(vq, x)
+    assert out.shape == ref.shape == (2, 4, 4, 16)
+    assert _rel_l2(out, ref) < 0.02
+
+
+def test_conv3_quantize_false_ignores_quant():
+    x = jr.normal(jr.PRNGKey(3), (2, 8, 8, 4))
+    m = Conv3(features=8, quantize=False)
+    v = m.init(jr.PRNGKey(0), x)
+    _, q = m.apply(v, x, mutable=["quant"])
+    assert not dict(q).get("quant")  # no observation site
+    out = m.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(m.apply(v, x)))
+
+
+def test_qdense_int8_close():
+    x = jr.normal(jr.PRNGKey(4), (2, 8, 8, 16))
+    m = QDense(features=32)
+    v, vq = _calibrated(m, x)
+    assert _rel_l2(m.apply(vq, x), m.apply(v, x)) < 0.02
+
+
+def test_piece_conv_int8_close_to_f32_concat():
+    p1 = jr.normal(jr.PRNGKey(5), (2, 8, 8, 16))
+    p2 = 3.0 * jr.normal(jr.PRNGKey(6), (2, 8, 8, 8))  # mismatched ranges
+    m = _PieceConv3(features=32)
+    v, vq = _calibrated(m, [p1, p2])
+    # per-PIECE act scales: the small-range piece must not be crushed by
+    # the large-range one's scale
+    assert jnp.shape(vq["quant"]["act_absmax"]) == (2,)
+    assert _rel_l2(m.apply(vq, [p1, p2]), m.apply(v, [p1, p2])) < 0.02
+
+
+def _tiny_unet():
+    from infodiffusion_tpu.models import AuxiliaryUNet
+
+    return AuxiliaryUNet(
+        T=10, a_dim=4, ch=32, ch_mult=(1, 2), attn=(1,), out_ch=1,
+    )
+
+
+def test_unet_int8_forward_close():
+    model = _tiny_unet()
+    x = jr.normal(jr.PRNGKey(7), (2, 16, 16, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    a = jr.normal(jr.PRNGKey(8), (2, 4))
+    v = jax.jit(lambda: model.init(jr.PRNGKey(0), x, t, a))()
+    vq = q8.calibrate(model, v, (16, 16, 1), a_dim=4, T=10, batch=8)
+    ref = model.apply(v, x, t, a)
+    out = model.apply(vq, x, t, a)
+    # full-depth W8A8 UNet vs f32: quantization noise accumulates over
+    # ~10 conv stages; empirically ~11% relative on RANDOM weights (the
+    # worst case — trained weights have structured, lower-kurtosis
+    # activations). The sampler-level check below is the product bound.
+    assert _rel_l2(out, ref) < 0.15
+
+
+def test_init_has_no_quant_collection():
+    model = _tiny_unet()
+    v = jax.jit(
+        lambda: model.init(
+            jr.PRNGKey(0),
+            jnp.zeros((1, 16, 16, 1)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 4)),
+        )
+    )()
+    # is_initializing guard: init makes every collection mutable, but the
+    # observe branch must NOT fire (it would pollute checkpoints)
+    assert "quant" not in v
+
+
+def test_calibrate_preserves_params_and_skips_head():
+    model = _tiny_unet()
+    v = jax.jit(
+        lambda: model.init(
+            jr.PRNGKey(0),
+            jnp.zeros((1, 16, 16, 1)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 4)),
+        )
+    )()
+    vq = q8.calibrate(model, v, (16, 16, 1), a_dim=4, T=10, batch=8)
+    # params bit-identical (weights quantize inline at apply, not here)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        v["params"], vq["params"],
+    )
+    flat = jax.tree_util.tree_flatten_with_path(vq["quant"])[0]
+    paths = ["/".join(str(k.key) for k in p if hasattr(k, "key"))
+             for p, _ in flat]
+    assert paths, "calibration observed no sites"
+    # head conv pinned to the normal policy (quantize=False in unet.py);
+    # tail_conv is a plain nn.Conv so it never appears either
+    assert not any("head" in p or "tail" in p for p in paths)
+    # every observed absmax is strictly positive (scale well-defined)
+    assert all(float(jnp.min(x)) > 0 for _, x in flat)
+
+
+def test_diffusion_process_turbo_sampling():
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import DiffusionProcess
+    from infodiffusion_tpu.models import Diff
+
+    cfg = Config(model="vanilla", dataset="mnist", diffusion_steps=6,
+                 deterministic=True, a_dim=4, input_size=16,
+                 turbo="int8")
+    model = Diff(T=6, shape=(1, 16, 16), unets_channels=32,
+                 ch_mult=(1, 2), attn=(1,))
+    x = jnp.zeros((1, 16, 16, 1))
+    v = jax.jit(
+        lambda: model.init(
+            {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+             "dropout": jr.PRNGKey(2)},
+            x, jnp.zeros((1,), jnp.int32),
+        )
+    )()
+    p = DiffusionProcess(cfg, model, v, shape=(1, 16, 16))
+    assert p.turbo == "int8" and "quant" in p.params
+    out = p.sampling(jr.PRNGKey(0), sampling_number=4, num_steps=3)
+    assert out.shape == (4, 16, 16, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # trajectory must track the non-turbo sampler (same model/key)
+    p0 = DiffusionProcess(cfg.replace(turbo=""), model, v,
+                          shape=(1, 16, 16))
+    ref = p0.sampling(jr.PRNGKey(0), sampling_number=4, num_steps=3)
+    assert _rel_l2(out, ref) < 0.05
+
+
+def test_turbo_rejects_unknown_mode():
+    from infodiffusion_tpu.config import Config
+
+    with pytest.raises(ValueError):
+        Config(model="vanilla", dataset="mnist", turbo="fp4")
+
+
+def test_cli_turbo_flag():
+    from infodiffusion_tpu.cli import parse_args
+
+    cfg = parse_args(
+        "--model vanilla --mode eval --prior regular --dataset mnist "
+        "--a_dim 32 --turbo int8".split()
+    )
+    assert cfg.turbo == "int8"
