@@ -41,12 +41,21 @@ class Conv3(nn.Module):
     mutable the call OBSERVES its input range (calibration); when the
     collection is present read-only it runs the W8A8 int8 MXU path.
     ``quantize=False`` pins quality-critical convs (the image head/tail)
-    to the normal dtype policy."""
+    to the normal dtype policy.
+
+    ``repeat=2`` fuses a nearest-x2 upsample in front of the conv
+    (UpSample). In turbo mode the input quantizes at the SMALL
+    resolution and the repeat runs on int8 (|x| is invariant under
+    repeat, so the calibrated scale transfers exactly) — the
+    materialized upsampled tensor is half the bytes and the separate
+    post-repeat quantize pass disappears (~235 MB/step saved at the
+    level-1 upsample)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
     strides: int = 1
     quantize: bool = True
+    repeat: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -57,51 +66,88 @@ class Conv3(nn.Module):
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
         s = (self.strides, self.strides)
         pad = ((1, 1), (1, 1))
+        rep = (
+            (lambda z: jnp.repeat(jnp.repeat(z, self.repeat, axis=1),
+                                  self.repeat, axis=2))
+            if self.repeat > 1 else (lambda z: z)
+        )
         if (self.quantize and self.is_mutable_collection("quant")
                 and not self.is_initializing()):
-            q8.observe_absmax(self, x)
+            q8.observe_absmax(self, x)  # pre-repeat: same |max|
         elif self.quantize and self.has_variable("quant", "act_absmax"):
             absmax = self.variable("quant", "act_absmax").value
-            return q8.qconv3(x, kernel, bias, absmax, s, pad, self.dtype)
+            kq, sw = q8.quantize_weight(kernel, (0, 1, 2))
+            xq, sx = q8.quantize_act(x, absmax)
+            y = q8.int8_conv(rep(xq), kq, s, pad)
+            y = y.astype(jnp.float32) * (sx * sw) + bias.astype(jnp.float32)
+            return y.astype(self.dtype)
         (kernel, bias, x) = nn.dtypes.promote_dtype(
             kernel, bias, x, dtype=self.dtype
         )
         y = jax.lax.conv_general_dilated(
-            x, kernel, s, pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+            rep(x), kernel, s, pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
         return y + bias
 
 
 def _conv3(features: int, dtype, name: str, strides: int = 1,
-           quantize: bool = True) -> Conv3:
-    return Conv3(features, dtype, strides, quantize, name=name)
+           quantize: bool = True, repeat: int = 1) -> Conv3:
+    return Conv3(features, dtype, strides, quantize, repeat, name=name)
 
 
-class QDense(nn.Module):
-    """``nn.Dense`` with the same int8 turbo tier as :class:`Conv3`
-    (used for the ResBlock 1x1 shortcut projection, which is HBM-bound —
-    the int8 input halves its read traffic). Param tree identical to
-    ``nn.Dense``."""
+def _try_fused_shortcut(residual, pieces, kernel, bias):
+    """The fused residual+shortcut epilogue (one Pallas pass; see
+    ops/pallas/shortcut_fused.py). Returns None when disabled or the
+    shapes don't tile."""
+    if residual is None:
+        return None
+    from infodiffusion_tpu.ops.pallas.shortcut_fused import (
+        fused_shortcut_add,
+        fused_shortcut_enabled,
+        fused_shortcut_supported,
+    )
+
+    if not (fused_shortcut_enabled()
+            and fused_shortcut_supported(residual, pieces)):
+        return None
+    return fused_shortcut_add(residual, pieces, kernel, bias)
+
+
+class ShortcutDense(nn.Module):
+    """``nn.Dense`` for the ResBlock 1x1 shortcut projection. Param tree
+    identical to ``nn.Dense``.
+
+    Deliberately NOT int8-quantized in turbo mode: the shortcut is
+    bandwidth-bound, and the W8A8 form was MEASURED SLOWER than bf16
+    here (int8 trace: 169 ms of f32 partial-product dots + ~60 ms of
+    raw-piece quantize passes vs 116 ms for the whole bf16 form — the
+    quantize pass plus f32 partials cost more bytes than the int8 reads
+    save).
+
+    ``residual``: when given, returns ``residual + x @ kernel + bias``.
+    With INFODIFF_ENABLE_FUSED_SHORTCUT=1 this runs as ONE Pallas pass
+    (opt-in: measured behind XLA end-to-end, see shortcut_fused.py for
+    the fusion-boundary analysis)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, residual=None) -> jnp.ndarray:
         kernel = self.param(
             "kernel", DEFAULT_KERNEL, (x.shape[-1], self.features),
             jnp.float32,
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
-        if self.is_mutable_collection("quant") and not self.is_initializing():
-            q8.observe_absmax(self, x)
-        elif self.has_variable("quant", "act_absmax"):
-            absmax = self.variable("quant", "act_absmax").value
-            return q8.qdense(x, kernel, bias, absmax, self.dtype)
+        if not self.is_initializing():
+            fused = _try_fused_shortcut(residual, [x], kernel, bias)
+            if fused is not None:
+                return fused
         (kernel, bias, x) = nn.dtypes.promote_dtype(
             kernel, bias, x, dtype=self.dtype
         )
-        return x @ kernel + bias
+        out = x @ kernel + bias
+        return out if residual is None else residual + out
 
 
 def _as_pieces(x):
@@ -173,36 +219,27 @@ class _PieceConv3(nn.Module):
 
 class _PieceDense(nn.Module):
     """Dense over ``concat(pieces, -1)`` as a sum of per-piece matmuls
-    with row-sliced kernels; param tree identical to ``nn.Dense``."""
+    with row-sliced kernels; param tree identical to ``nn.Dense``.
+    Not int8-quantized in turbo mode (see :class:`ShortcutDense`).
+
+    ``residual``: when given, returns ``residual + dense(pieces)``;
+    with INFODIFF_ENABLE_FUSED_SHORTCUT=1 as ONE opt-in Pallas pass
+    over all pieces (see shortcut_fused.py)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pieces):
+    def __call__(self, pieces, residual=None):
         cin = sum(p.shape[-1] for p in pieces)
         kernel = self.param(
             "kernel", DEFAULT_KERNEL, (cin, self.features), jnp.float32
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
-        if self.is_mutable_collection("quant") and not self.is_initializing():
-            q8.observe_absmax(self, pieces)
-        elif self.has_variable("quant", "act_absmax"):
-            absmax = self.variable("quant", "act_absmax").value
-            kq, sw = q8.quantize_weight(kernel, (0,))
-            out = None
-            o = 0
-            for i, p in enumerate(pieces):
-                c = p.shape[-1]
-                pq, sx = q8.quantize_act(p, absmax[i])
-                y = jax.lax.dot_general(
-                    pq, kq[o : o + c, :],
-                    (((pq.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * (sx * sw)
-                out = y if out is None else out + y
-                o += c
-            return (out + bias.astype(jnp.float32)).astype(self.dtype)
+        if not self.is_initializing():
+            fused = _try_fused_shortcut(residual, pieces, kernel, bias)
+            if fused is not None:
+                return fused
         (kernel, bias, *pieces) = nn.dtypes.promote_dtype(
             kernel, bias, *pieces, dtype=self.dtype
         )
@@ -213,7 +250,8 @@ class _PieceDense(nn.Module):
             y = p @ kernel[o : o + c, :]
             out = y if out is None else out + y
             o += c
-        return out + bias
+        out = out + bias
+        return out if residual is None else residual + out
 
 
 class _GNParams(nn.Module):
@@ -252,16 +290,20 @@ def _stage1(x, out_ch, dtype):
     return h, pieces, in_ch
 
 
-def _residual_input(x, pieces, in_ch, out_ch, dtype):
-    """The shortcut branch: 1x1 projection on channel change (as a sum of
-    per-piece matmuls when concat-free), identity otherwise."""
+def _residual_add(h, x, pieces, in_ch, out_ch, dtype):
+    """The block epilogue ``h + shortcut(x)``: 1x1 projection on channel
+    change (as a sum of per-piece matmuls when concat-free; one opt-in
+    Pallas pass with INFODIFF_ENABLE_FUSED_SHORTCUT=1 —
+    shortcut_fused.py), identity otherwise."""
     if in_ch != out_ch:
         if pieces is not None:
-            return _PieceDense(out_ch, dtype, name="shortcut")(pieces)
-        return QDense(out_ch, dtype, name="shortcut")(x)
+            return _PieceDense(out_ch, dtype, name="shortcut")(
+                pieces, residual=h
+            )
+        return ShortcutDense(out_ch, dtype, name="shortcut")(x, residual=h)
     if pieces is not None:
-        return jnp.concatenate(pieces, axis=-1)
-    return x
+        return h + jnp.concatenate(pieces, axis=-1)
+    return h + x
 
 
 def _film_proj(tdim_in, out_ch, dtype, name):
@@ -303,7 +345,7 @@ class ResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv3")(h)
 
-        h = h + _residual_input(x, pieces, in_ch, self.out_ch, self.dtype)
+        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -352,7 +394,7 @@ class AuxResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv3")(h)
 
-        h = h + _residual_input(x, pieces, in_ch, self.out_ch, self.dtype)
+        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -378,7 +420,7 @@ class EncoderResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv2")(h)
 
-        h = h + _residual_input(x, pieces, in_ch, self.out_ch, self.dtype)
+        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -467,8 +509,9 @@ class UpSample(nn.Module):
         B, H, W, C = x.shape
         if os.environ.get("INFODIFF_SUBPIXEL_UPSAMPLE") == "1":
             return _SubpixelUpConv(C, self.dtype, name="conv")(x)
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return _conv3(C, self.dtype, "conv")(x)
+        # nearest-x2 fused into the conv module (in turbo mode the input
+        # quantizes BEFORE the repeat — see Conv3.repeat)
+        return _conv3(C, self.dtype, "conv", repeat=2)(x)
 
 
 class LatentDownSample(nn.Module):

@@ -3,12 +3,19 @@
 All kernels measured BEHIND XLA's own fusions on v5e (round 1), so XLA
 is the default everywhere and the kernels are opt-in:
 
-- ``INFODIFF_ENABLE_PALLAS=1``      : adagn / attention / mmd kernels.
+- ``INFODIFF_ENABLE_PALLAS=1``      : adagn / attention kernels
+  (MMD has no Pallas kernel — ops/mmd.py is the XLA dot-general form).
 - ``INFODIFF_ENABLE_FUSED_LATENT=1``: the whole-forward latent-MLP
   kernel (ops/pallas/latent_mlp.py) — gated separately because it is a
   known ~10% pessimization vs XLA (kept as a parity-tested alternative),
   and bundling it under the umbrella flag would silently slow users who
   enable Pallas hoping for wins elsewhere.
+- ``INFODIFF_ENABLE_FUSED_SHORTCUT=1``: the fused residual+shortcut
+  epilogue (ops/pallas/shortcut_fused.py) — also separately gated and a
+  known ~33% end-to-end pessimization; kept as the measured evidence
+  that single-op extraction loses to XLA's global layout/fusion
+  planning at this model scale (fusion-boundary analysis in its
+  docstring).
 - ``INFODIFF_DISABLE_PALLAS=1``     : force the XLA paths everywhere.
 """
 

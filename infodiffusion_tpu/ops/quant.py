@@ -21,7 +21,11 @@ Scheme (standard post-training W8A8, symmetric):
   saturate, which int8 tolerates by construction.
 - accumulation int32 on the MXU; dequant + bias in f32; schedule math,
   GroupNorm statistics and softmax stay f32 (CLAUDE.md policy) — only
-  the conv/matmul bodies drop to int8.
+  the conv bodies drop to int8. The 1x1 shortcut projections stay bf16
+  on purpose: they are bandwidth-bound, and the W8A8 form measured
+  SLOWER there (the standalone quantize pass plus f32 partial-product
+  dots cost more HBM bytes than the int8 reads save — int8 trace:
+  ~230 ms vs 116 ms bf16; see nn/blocks.py ShortcutDense).
 
 Activation: ``INFODIFF_TURBO=int8`` (or ``--turbo int8``) at sampler
 construction; the samplers then calibrate and thread a ``'quant'``
@@ -80,28 +84,6 @@ def int8_conv(xq, kq, strides, padding):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-
-
-def qconv3(x, kernel, bias, act_absmax, strides, padding, dtype):
-    """Full W8A8 conv: quantize ``x`` (static scale), int8 conv, dequant
-    by (act_scale * w_scale[c]) and add bias in f32, cast to ``dtype``."""
-    kq, sw = quantize_weight(kernel, (0, 1, 2))
-    xq, sx = quantize_act(x, act_absmax)
-    y = int8_conv(xq, kq, strides, padding)
-    y = y.astype(jnp.float32) * (sx * sw) + bias.astype(jnp.float32)
-    return y.astype(dtype)
-
-
-def qdense(x, kernel, bias, act_absmax, dtype):
-    """W8A8 matmul (the 1x1 shortcut projection)."""
-    kq, sw = quantize_weight(kernel, (0,))
-    xq, sx = quantize_act(x, act_absmax)
-    y = jax.lax.dot_general(
-        xq, kq, (((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = y.astype(jnp.float32) * (sx * sw) + bias.astype(jnp.float32)
-    return y.astype(dtype)
 
 
 def observe_absmax(module, x_or_pieces) -> None:

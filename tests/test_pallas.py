@@ -168,3 +168,60 @@ def test_latent_mlp_fused_gate():
         assert not use_fused_latent()  # still off: backend is cpu
     finally:
         del os.environ["INFODIFF_ENABLE_FUSED_LATENT"]
+
+
+def test_fused_shortcut_interpret_matches_xla():
+    from infodiffusion_tpu.ops.pallas.shortcut_fused import (
+        fused_shortcut_add,
+        fused_shortcut_supported,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H, W = 2, 16, 16  # M = 512 rows -> tiles at 256/512
+    cs, N = (128, 64), 64
+    h = jnp.asarray(rng.randn(B, H, W, N), jnp.float32)
+    pieces = [jnp.asarray(rng.randn(B, H, W, c), jnp.float32) for c in cs]
+    kernel = jnp.asarray(rng.randn(sum(cs), N) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.randn(N), jnp.float32)
+    assert fused_shortcut_supported(h, pieces)
+    got = fused_shortcut_add(h, pieces, kernel, bias, interpret=True)
+    want = h + (
+        jnp.concatenate(pieces, -1).reshape(-1, sum(cs)) @ kernel + bias
+    ).reshape(h.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fused_shortcut_single_piece_bf16():
+    from infodiffusion_tpu.ops.pallas.shortcut_fused import (
+        fused_shortcut_add,
+    )
+
+    rng = np.random.RandomState(4)
+    h = jnp.asarray(rng.randn(4, 8, 8, 32), jnp.bfloat16)
+    x = jnp.asarray(rng.randn(4, 8, 8, 16), jnp.bfloat16)
+    kernel = jnp.asarray(rng.randn(16, 32) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(32), jnp.float32)
+    got = fused_shortcut_add(h, [x], kernel, bias, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = h.astype(jnp.float32) + (
+        x.reshape(-1, 16).astype(jnp.float32)
+        @ kernel.astype(jnp.bfloat16).astype(jnp.float32)
+        + bias
+    ).reshape(h.shape)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=0.15, rtol=0.05
+    )
+
+
+def test_fused_shortcut_supported_limits():
+    from infodiffusion_tpu.ops.pallas.shortcut_fused import (
+        fused_shortcut_supported,
+    )
+
+    h = jnp.zeros((2, 16, 16, 64))
+    # odd channel count -> unsupported
+    assert not fused_shortcut_supported(h, [jnp.zeros((2, 16, 16, 63))])
+    # rows not tileable (M = 2*3*3 = 18 has no 256+ power-of-2 divisor)
+    assert not fused_shortcut_supported(
+        jnp.zeros((2, 3, 3, 64)), [jnp.zeros((2, 3, 3, 64))]
+    )

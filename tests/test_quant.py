@@ -14,7 +14,7 @@ import jax.random as jr
 import numpy as np
 import pytest
 
-from infodiffusion_tpu.nn.blocks import Conv3, QDense, _PieceConv3
+from infodiffusion_tpu.nn.blocks import Conv3, ShortcutDense, _PieceConv3
 from infodiffusion_tpu.ops import quant as q8
 
 
@@ -70,11 +70,38 @@ def test_conv3_quantize_false_ignores_quant():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(m.apply(v, x)))
 
 
-def test_qdense_int8_close():
+def test_shortcut_dense_stays_bf16_in_turbo():
+    """The 1x1 shortcut is deliberately NOT quantized (bandwidth-bound;
+    W8A8 measured slower there — nn/blocks.py ShortcutDense)."""
     x = jr.normal(jr.PRNGKey(4), (2, 8, 8, 16))
-    m = QDense(features=32)
-    v, vq = _calibrated(m, x)
-    assert _rel_l2(m.apply(vq, x), m.apply(v, x)) < 0.02
+    m = ShortcutDense(features=32)
+    v = m.init(jr.PRNGKey(0), x)
+    _, q = m.apply(v, x, mutable=["quant"])
+    assert not dict(q).get("quant")  # no observation site
+    np.testing.assert_array_equal(
+        np.asarray(m.apply(v, x)), np.asarray(m.apply(v, x))
+    )
+
+
+def test_conv3_repeat_matches_manual_upsample():
+    """Conv3(repeat=2) == nearest-x2 then conv (exact in f32); in the
+    int8 tier the pre-repeat quantize is exact too (|x| is repeat-
+    invariant)."""
+    x = jr.normal(jr.PRNGKey(9), (2, 4, 4, 16))
+    m2 = Conv3(features=16, repeat=2)
+    m1 = Conv3(features=16)
+    v = m2.init(jr.PRNGKey(0), x)
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    np.testing.assert_allclose(
+        np.asarray(m2.apply(v, x)), np.asarray(m1.apply(v, up)),
+        atol=1e-6,
+    )
+    # int8: calibrate both; quantize-before-repeat == quantize-after
+    _, q2 = m2.apply(v, x, mutable=["quant"])
+    _, q1 = m1.apply(v, up, mutable=["quant"])
+    out2 = m2.apply({**v, **q2}, x)
+    out1 = m1.apply({**v, **q1}, up)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=1e-6)
 
 
 def test_piece_conv_int8_close_to_f32_concat():
@@ -150,8 +177,11 @@ def test_calibrate_preserves_params_and_skips_head():
              for p, _ in flat]
     assert paths, "calibration observed no sites"
     # head conv pinned to the normal policy (quantize=False in unet.py);
-    # tail_conv is a plain nn.Conv so it never appears either
-    assert not any("head" in p or "tail" in p for p in paths)
+    # tail_conv is a plain nn.Conv so it never appears either; shortcut
+    # projections deliberately stay bf16 (ShortcutDense)
+    assert not any(
+        "head" in p or "tail" in p or "shortcut" in p for p in paths
+    )
     # every observed absmax is strictly positive (scale well-defined)
     assert all(float(jnp.min(x)) > 0 for _, x in flat)
 

@@ -40,6 +40,12 @@ def main():
         "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3),
     }
     variables = jax.jit(lambda: model.init(rngs, x, t0, a0))()
+    # INFODIFF_TURBO=int8 profiles the W8A8 turbo tier (ops/quant.py)
+    if os.environ.get("INFODIFF_TURBO", ""):
+        from infodiffusion_tpu.ops.quant import calibrate
+
+        variables = calibrate(model, variables, (64, 64, 3), a_dim=256,
+                              T=1000)
     sched = make_schedule(1e-5, 1e-2, 1000)
 
     @jax.jit
