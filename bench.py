@@ -279,6 +279,12 @@ def main():
     # INFODIFF_TURBO=int8: W8A8 conv tier (ops/quant.py). Emits its own
     # metric name — the headline series the driver records stays bf16.
     turbo = os.environ.get("INFODIFF_TURBO", "")
+    if turbo not in ("", "int8"):
+        raise SystemExit(
+            f"unknown INFODIFF_TURBO {turbo!r} (expected '' or 'int8'; "
+            "the quant tier is int8 — an unvalidated name here would "
+            "label the metric after a tier that does not exist)"
+        )
     if turbo:
         from infodiffusion_tpu.ops.quant import calibrate
 

@@ -118,12 +118,14 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
                         "H*W token axis over a 'seq' mesh axis (ring "
                         "attention) when the token count is large enough "
                         "(INFODIFF_SP_MIN_TOKENS, default 1024)")
-    p.add_argument("--turbo", choices=["", "int8"], default="",
+    p.add_argument("--turbo", choices=["", "off", "int8"], default="",
                    help="inference turbo tier for the image samplers: "
                         "'int8' runs the UNet conv bodies W8A8 on the MXU "
                         "with scales calibrated at sampler construction "
                         "(ops/quant.py); schedule math, norms and the "
-                        "head/tail convs stay on the normal policy")
+                        "head/tail convs stay on the normal policy. "
+                        "'' falls through to $INFODIFF_TURBO; 'off' "
+                        "forces it off even when the env var is set")
     p.add_argument("--async_ckpt", action="store_true",
                    help="non-blocking checkpoint writes (Orbax async; "
                         "barriered at train end / preemption)")

@@ -162,9 +162,9 @@ class Config:
             raise ValueError(
                 f"dataset must be one of {DATASETS}, got {self.dataset!r}"
             )
-        if self.turbo not in ("", "int8"):
+        if self.turbo not in ("", "off", "int8"):
             raise ValueError(
-                f"turbo must be '' or 'int8', got {self.turbo!r}"
+                f"turbo must be '', 'off' or 'int8', got {self.turbo!r}"
             )
 
     def with_dataset_config(self) -> "Config":

@@ -252,14 +252,22 @@ def _requirk_eps_fn(model, params, key, r_seed):
 
 
 def _resolve_turbo(cfg, turbo):
-    """Explicit arg > cfg.turbo > INFODIFF_TURBO env; '' = off."""
+    """Explicit arg > cfg.turbo > INFODIFF_TURBO env.
+
+    '' means "unset, fall through"; 'off' is an EXPLICIT off that stops
+    the fallthrough — the only way to defeat an exported INFODIFF_TURBO
+    from the CLI (--turbo off)."""
     from infodiffusion_tpu.ops.quant import turbo_mode
 
     mode = turbo if turbo is not None else (
         getattr(cfg, "turbo", "") or turbo_mode()
     )
+    if mode == "off":
+        return ""
     if mode not in ("", "int8"):
-        raise ValueError(f"unknown turbo mode {mode!r} (expected '' or 'int8')")
+        raise ValueError(
+            f"unknown turbo mode {mode!r} (expected '', 'off' or 'int8')"
+        )
     return mode
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import signal
 import threading
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -121,10 +122,32 @@ def _configure_sp(cfg: Config):
         from infodiffusion_tpu.parallel.ring_attention import make_seq_mesh
 
         configure_sp(make_seq_mesh(cfg.sp))
+        min_tokens = int(os.environ.get("INFODIFF_SP_MIN_TOKENS", "1024"))
         print(
             f"[sp] ring attention armed: {cfg.sp}-way 'seq' mesh axis, "
-            f">= {os.environ.get('INFODIFF_SP_MIN_TOKENS', '1024')} tokens"
+            f">= {min_tokens} tokens"
         )
+        # --sp takes the devices away from data sharding (the 'seq' mesh
+        # owns them), so arming it on a config whose attention grids can
+        # never reach the threshold costs data parallelism and buys
+        # nothing — say so instead of silently running slower.
+        levels = (
+            tuple(int(i) for i in cfg.attn.split(","))
+            if getattr(cfg, "attn", None) else (2,)
+        )
+        max_tokens = max(
+            (cfg.input_size // (2 ** lvl)) ** 2 for lvl in levels
+        )
+        if max_tokens < min_tokens:
+            warnings.warn(
+                f"--sp {cfg.sp} will never engage: the largest attention "
+                f"grid for this config is {max_tokens} tokens "
+                f"(input_size {cfg.input_size}, attn levels {levels}), "
+                f"below the {min_tokens}-token threshold "
+                "(INFODIFF_SP_MIN_TOKENS) — yet --sp still disables "
+                "data-sharded batches. Drop the flag (or lower the "
+                "threshold) unless you mean to force ring attention."
+            )
     else:
         configure_sp(None)
 
@@ -251,6 +274,20 @@ def train(cfg: Config, latent: bool = False):
     _configure_sp(cfg)
     # under --pp/--sp another mesh owns the devices; data sharding is off
     mesh = None if (use_pp or cfg.sp > 1) else _mesh(cfg)
+    if mesh is None and (use_pp or cfg.sp > 1):
+        dropped = [
+            flag for flag, on in (
+                ("--fsdp", cfg.fsdp), (f"--tp {cfg.tp}", cfg.tp > 1),
+                ("data-sharded batches", jax.device_count() > 1),
+            ) if on
+        ]
+        if dropped:
+            warnings.warn(
+                f"--{'pp' if use_pp else 'sp'} owns the device mesh: "
+                + ", ".join(dropped)
+                + " disabled for this run (they need the 'data'/'model' "
+                "mesh, which --pp/--sp replaces)"
+            )
     print(dict(vars(cfg)))
 
     if latent:
@@ -481,8 +518,15 @@ def evaluate(cfg: Config):
 
     # --sp owns the devices as the 'seq' axis; data-sharded eval is off
     mesh = None if cfg.sp > 1 else _mesh(cfg)
+    # Build the sampler only for the modes that run it: eval_fid builds
+    # its own two-model processes and plot/save_latent/attr never sample
+    # — and under --turbo the constructor runs a calibration forward
+    # (a cold-compile-scale cost over the TPU tunnel) that those modes
+    # would pay for nothing.
     process = None
-    if cfg.model in ("diff", "vanilla"):
+    if cfg.model in ("diff", "vanilla") and mode in (
+        "eval", "latent_quality", "disentangle", "interpolate"
+    ):
         process = DiffusionProcess(cfg, model, variables, mesh=mesh)
 
     # profiling hook for eval modes (train has the same; SURVEY.md §5:
@@ -504,7 +548,7 @@ def _run_eval_mode(cfg, model, variables, process, mesh, rng):
     if mode == "eval":
         _mode_eval(cfg, model, variables, process, rng)
     elif mode == "eval_fid":
-        _mode_eval_fid(cfg, model, variables, rng)
+        _mode_eval_fid(cfg, model, variables, rng, mesh)
     elif mode == "latent_quality":
         _mode_latent_quality(cfg, model, variables, process, rng)
     elif mode == "plot_latent":
@@ -570,13 +614,17 @@ def _save_fid_batch(cfg, root, batch, sample_num) -> bool:
     return full
 
 
-def _mode_eval_fid(cfg, model, variables, rng):
-    """FID image dump (reference: run.py:265-309)."""
+def _mode_eval_fid(cfg, model, variables, rng, mesh):
+    """FID image dump (reference: run.py:265-309).
+
+    ``mesh`` comes from evaluate(): None under --sp (the 'seq' mesh owns
+    the devices there — rebuilding the 'data' mesh here would put params
+    on all devices while ring attention shard_maps over a subset, and
+    jit rejects mixed device sets)."""
     root = _fid_root(cfg)
     print(f"Saving images to {root}")
     if cfg.model == "diff":
         model2, vars2 = _second_model(cfg)
-        mesh = _mesh(cfg)
         if cfg.is_latent:
             process = DiffusionProcess(cfg, model, variables, mesh=mesh)
             process_latent = LatentDiffusionProcess(

@@ -308,3 +308,48 @@ def test_pp_rejects_image_training(workdir):
     cfg = parse_args(_args(["--model", "diff", "--pp", "2"]))
     with pytest.raises(ValueError, match="train_latent_ddim"):
         dispatch(cfg)
+
+
+def test_evaluate_wiring_sp_mesh_and_lazy_process(workdir, monkeypatch):
+    """evaluate() must (a) not build a sampler for modes that never run
+    one — under --turbo the DiffusionProcess constructor runs a
+    calibration forward, a cold-compile-scale cost over the TPU tunnel —
+    and (b) hand eval_fid the --sp-guarded mesh instead of letting it
+    rebuild the full-device 'data' mesh while the ring-attention 'seq'
+    mesh is armed (jit rejects mixed device sets)."""
+    from infodiffusion_tpu import runner
+    from infodiffusion_tpu.parallel.sp import configure_sp
+
+    monkeypatch.setattr(
+        runner, "_build_eval",
+        lambda c: (c.with_dataset_config(), None, None),
+    )
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError(
+                "DiffusionProcess built for a non-sampling mode"
+            )
+
+    monkeypatch.setattr(runner, "DiffusionProcess", Boom)
+    seen = {}
+
+    def fake_run(cfg, model, variables, process, mesh, rng):
+        seen["mesh"] = mesh
+        seen["process"] = process
+
+    monkeypatch.setattr(runner, "_run_eval_mode", fake_run)
+
+    try:
+        runner.evaluate(parse_args(_args([
+            "--model", "diff", "--mode", "save_latent",
+        ])))
+        assert seen["process"] is None
+
+        with pytest.warns(UserWarning, match="will never engage"):
+            runner.evaluate(parse_args(_args([
+                "--model", "diff", "--mode", "eval_fid", "--sp", "2",
+            ])))
+        assert seen["mesh"] is None
+    finally:
+        configure_sp(None)

@@ -231,3 +231,17 @@ def test_cli_turbo_flag():
         "--a_dim 32 --turbo int8".split()
     )
     assert cfg.turbo == "int8"
+
+
+def test_turbo_off_beats_env(monkeypatch):
+    """--turbo off must defeat an exported INFODIFF_TURBO (the only CLI
+    escape hatch, since '' means "fall through to the env")."""
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import _resolve_turbo
+
+    monkeypatch.setenv("INFODIFF_TURBO", "int8")
+    cfg = Config(model="vanilla", dataset="mnist")
+    assert _resolve_turbo(cfg, None) == "int8"          # '' falls through
+    assert _resolve_turbo(cfg.replace(turbo="off"), None) == ""
+    assert _resolve_turbo(cfg, "off") == ""             # explicit arg
+    assert _resolve_turbo(cfg.replace(turbo="off"), "int8") == "int8"

@@ -120,3 +120,21 @@ def test_runner_configure_sp(monkeypatch):
     assert int(sp._STATE["mesh"].shape["seq"]) == 4
     _configure_sp(cfg.replace(sp=1))
     assert sp._STATE["mesh"] is None
+
+
+def test_configure_sp_warns_when_threshold_unreachable():
+    """Arming --sp on a config whose attention grids can never reach the
+    token threshold silently costs data sharding — runner._configure_sp
+    must say so (celeba 64px, attn level 2 -> 256 tokens < 1024)."""
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.runner import _configure_sp
+    from infodiffusion_tpu.parallel import sp
+
+    cfg = Config(model="diff", mode="eval", prior="regular", a_dim=8,
+                 dataset="celeba", mmd_weight=0.1, sp=4
+                 ).with_dataset_config()
+    try:
+        with pytest.warns(UserWarning, match="will never engage"):
+            _configure_sp(cfg)
+    finally:
+        configure_sp(None)

@@ -28,9 +28,9 @@ import jax.numpy as jnp
 import jax.random as jr
 
 
-def forward_gflops(batch: int = 64) -> float:
-    """Per-sample forward GFLOPs of the flagship backbone (f32 HLO;
-    multiply-add counted as 2 FLOPs, XLA's convention)."""
+def forward_gflops(batch: int = 64) -> tuple:
+    """(per-sample forward GFLOPs, param count) of the flagship backbone
+    (f32 HLO; multiply-add counted as 2 FLOPs, XLA's convention)."""
     from infodiffusion_tpu.models import InfoDiff
 
     model = InfoDiff(
