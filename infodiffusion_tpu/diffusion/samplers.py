@@ -199,7 +199,10 @@ def _shard_for_mesh(mesh, params, batch_arrays):
     """Shard sampling batches over the mesh's data axis and replicate
     params; no-op when mesh is None or the batch doesn't divide the
     axis. Eval-time batch parallelism the reference (single-GPU) lacks."""
-    if mesh is None:
+    if mesh is None or "data" not in mesh.shape:
+        # meshes without a 'data' axis (e.g. the 1-D 'seq'/'stage'
+        # meshes) have nothing to shard batches over — fall back rather
+        # than build a PartitionSpec on a nonexistent axis
         return params, batch_arrays
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -315,6 +318,9 @@ class DiffusionProcess:
         self._jit_sample_draw = jax.jit(
             self._sample_draw_impl, static_argnames=("n", "num_steps")
         )
+        self._jit_sample_given = jax.jit(
+            self._sample_given_impl, static_argnames=("num_steps",)
+        )
 
     def _eps_fn(self, params):
         if self.is_conditional:
@@ -329,6 +335,18 @@ class DiffusionProcess:
         xT = jr.normal(k_x, (n,) + self.data_shape)
         if self.is_conditional and a is None:
             a = jr.normal(k_a, (n, self.cfg.a_dim))
+        if num_steps is not None:
+            return self._strided_impl(params, xT, a, k_s, num_steps)
+        return self._sample_impl(params, xT, a, k_s)
+
+    def _sample_given_impl(self, params, key, xT, a, num_steps):
+        # xT given by the caller but the key math still runs INSIDE the
+        # jitted program (CLAUDE.md: sampler entry points stay free of
+        # eager device ops — disentangle alone calls this a_dim times).
+        # Split mirrors the mesh path exactly, so values are unchanged.
+        _k_x, k_a, k_s = jr.split(key, 3)
+        if self.is_conditional and a is None:
+            a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
         if num_steps is not None:
             return self._strided_impl(params, xT, a, k_s, num_steps)
         return self._sample_impl(params, xT, a, k_s)
@@ -358,10 +376,17 @@ class DiffusionProcess:
     def sampling(self, key, sampling_number=16, xT=None, a=None, num_steps=None):
         if num_steps is None:
             num_steps = self.cfg.sampling_steps
-        if xT is None and self.mesh is None:
-            return self._jit_sample_draw(
-                self.params, key, a, n=sampling_number, num_steps=num_steps
+        if self.mesh is None:
+            if xT is None:
+                return self._jit_sample_draw(
+                    self.params, key, a, n=sampling_number,
+                    num_steps=num_steps,
+                )
+            return self._jit_sample_given(
+                self.params, key, xT, a, num_steps=num_steps
             )
+        # mesh path: sharding needs concrete arrays up front, so the
+        # draws stay eager here (sharded eval is host-driven anyway)
         k_x, k_a, k_s = jr.split(key, 3)
         if xT is None:
             xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
@@ -408,6 +433,7 @@ class TwoPhaseDiffusionProcess:
         self._jit_sample_draw = jax.jit(
             self._sample_draw_impl, static_argnames=("n",)
         )
+        self._jit_sample_given = jax.jit(self._sample_given_impl)
 
     def _sample_impl(self, params1, params2, xT, a, key):
         cond = lambda x, t, a_: self.model1.apply(params1, x, t, a_)
@@ -425,6 +451,13 @@ class TwoPhaseDiffusionProcess:
             a = jr.normal(k_a, (n, self.cfg.a_dim))
         return self._sample_impl(params1, params2, xT, a, k_s)
 
+    def _sample_given_impl(self, params1, params2, key, xT, a):
+        # key math inside the jit (see DiffusionProcess._sample_given_impl)
+        _k_x, k_a, k_s = jr.split(key, 3)
+        if a is None:
+            a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
+        return self._sample_impl(params1, params2, xT, a, k_s)
+
     def _reverse_impl(self, params1, x0, a, key=None):
         cond = lambda x, t, a_: self.model1.apply(params1, x, t, a_)
         if getattr(self.cfg, "reverse_reference_quirk", False):
@@ -433,9 +466,13 @@ class TwoPhaseDiffusionProcess:
         return reverse_sample_loop(cond, self.sched, x0, a)
 
     def sampling(self, key, sampling_number=16, xT=None, a=None):
-        if xT is None and self.mesh is None:
-            return self._jit_sample_draw(
-                self.params1, self.params2, key, a, n=sampling_number
+        if self.mesh is None:
+            if xT is None:
+                return self._jit_sample_draw(
+                    self.params1, self.params2, key, a, n=sampling_number
+                )
+            return self._jit_sample_given(
+                self.params1, self.params2, key, xT, a
             )
         k_x, k_a, k_s = jr.split(key, 3)
         if xT is None:
@@ -497,6 +534,7 @@ class LatentDiffusionProcess:
         self._jit_sample_draw = jax.jit(
             self._sample_draw_impl, static_argnames=("n",)
         )
+        self._jit_sample_given = jax.jit(self._sample_given_impl)
 
     def _eps_fn(self, params):
         if self._fused:
@@ -519,9 +557,18 @@ class LatentDiffusionProcess:
         xT = jr.normal(k_x, (n, self.cfg.a_dim))
         return self._sample_impl(params, xT, k_s)
 
+    def _sample_given_impl(self, params, key, xT):
+        # key math inside the jit (see DiffusionProcess._sample_given_impl)
+        _k_x, k_s = jr.split(key)
+        return self._sample_impl(params, xT, k_s)
+
     def sampling(self, key, sampling_number=16, xT=None):
-        if xT is None and self.mesh is None:
-            return self._jit_sample_draw(self.params, key, n=sampling_number)
+        if self.mesh is None:
+            if xT is None:
+                return self._jit_sample_draw(
+                    self.params, key, n=sampling_number
+                )
+            return self._jit_sample_given(self.params, key, xT)
         k_x, k_s = jr.split(key)
         if xT is None:
             xT = jr.normal(k_x, (sampling_number, self.cfg.a_dim))

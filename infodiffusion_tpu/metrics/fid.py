@@ -42,18 +42,31 @@ STATS_DIR = os.environ.get("INFODIFF_FID_STATS_DIR", "./fid_stats")
 
 def _try_inception_extractor():
     try:
+        import torch
         from cleanfid.features import build_feature_extractor  # type: ignore
 
-        model = build_feature_extractor(mode="clean")
+        # build on the device we actually feed (clean-fid defaults to
+        # cuda, which either crashes on construction here or mismatches
+        # the CPU tensors extract() passes in)
+        device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+        model = build_feature_extractor(mode="clean", device=device)
 
         def extract(batch_u8):  # [B, H, W, 3] uint8
-            import torch
-
             x = torch.from_numpy(batch_u8.transpose(0, 3, 1, 2)).float()
-            return model(x).cpu().numpy()
+            with torch.no_grad():
+                return model(x.to(device)).cpu().numpy()
 
         return extract, "inception-clean"
-    except Exception:
+    except ImportError:
+        return None
+    except Exception as e:  # importable but unusable (e.g. weight
+        # download blocked): say so instead of silently degrading
+        import warnings
+
+        warnings.warn(
+            f"clean-fid extractor unavailable ({type(e).__name__}: {e}); "
+            "falling back"
+        )
         return None
 
 
@@ -106,6 +119,12 @@ def get_extractor(name: str = "auto"):
                 "is not importable; use extractor='random' or provide "
                 "weights (no network egress in this environment)"
             )
+    elif name != "random":
+        raise ValueError(
+            f"unknown extractor {name!r} (expected 'auto', 'inception' or "
+            "'random') — refusing to silently hand back random-conv "
+            "features, whose scores are not Inception-comparable"
+        )
     return _random_conv_extractor()
 
 
@@ -162,12 +181,21 @@ def feature_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, sigma
 
 
-def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
-    """FID = |mu1-mu2|^2 + Tr(S1 + S2 - 2 (S1 S2)^{1/2})."""
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID = |mu1-mu2|^2 + Tr(S1 + S2 - 2 (S1 S2)^{1/2}).
+
+    Near-singular covariances (fewer images than feature dims) can make
+    sqrtm non-finite; like pytorch-fid/clean-fid, retry with an eps
+    offset on the diagonals instead of returning NaN."""
     import scipy.linalg
 
     diff = mu1 - mu2
     covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm(
+            (sigma1 + offset) @ (sigma2 + offset)
+        )
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))

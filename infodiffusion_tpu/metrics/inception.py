@@ -163,7 +163,18 @@ def default_weights_path() -> str | None:
     """Locate a pt_inception checkpoint: env var, then torch-hub cache."""
     env = os.environ.get("INFODIFF_INCEPTION_WEIGHTS")
     if env:
-        return env if os.path.exists(env) else None
+        if os.path.exists(env):
+            return env
+        # a set-but-bad path must not silently degrade to the fallback
+        # extractor ("set INFODIFF_INCEPTION_WEIGHTS" advice would then
+        # gaslight a user who already set it)
+        import warnings
+
+        warnings.warn(
+            f"INFODIFF_INCEPTION_WEIGHTS points at a nonexistent path: "
+            f"{env!r} — ignoring it"
+        )
+        return None
     hub = os.path.join(
         os.path.expanduser("~"), ".cache", "torch", "hub", "checkpoints"
     )

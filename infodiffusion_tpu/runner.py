@@ -198,24 +198,35 @@ def _load_model_params(cfg: Config, model, example_x, latent=False, epoch=None):
     return {"params": params}
 
 
+# one jitted encoder per (model, regularizer pick): the eval modes call
+# _encode_batch repeatedly and an UNJITTED model.apply would run eagerly
+# — op-by-op host round-trips over the TPU tunnel
+_ENCODE_CACHE: dict = {}
+
+
+def _eval_encoder(cfg: Config, model):
+    from infodiffusion_tpu.train.step import make_eval_encode_step
+
+    key = (model, cfg.kld_weight != 0)
+    if key not in _ENCODE_CACHE:
+        _ENCODE_CACHE[key] = make_eval_encode_step(
+            model, pick_mu=cfg.kld_weight != 0
+        )
+    return _ENCODE_CACHE[key]
+
+
 def _encode_dataset(cfg: Config, model, variables):
     """Full-dataset deterministic encode -> (all_a [N, a_dim], all_attr)
     (reference: run.py:415-443). Latent selection per the regularizer
     table: kld!=0 -> mu; else -> a (run.py:429-438)."""
     loader = _loader(cfg, with_attrs=True, shuffle=False)
-
-    @jax.jit
-    def enc(x):
-        a, _aq, mu, _lv = model.apply(
-            variables, x, method=type(model).encode, sample=False
-        )
-        return mu if cfg.kld_weight != 0 else a
+    enc = _eval_encoder(cfg, model)
 
     all_a, all_attr = [], []
     for x, attr in loader:
         # f32 at the artifact boundary: under --bf16 the encoder emits
         # bfloat16, which numpy would pickle as objects inside the npz
-        all_a.append(np.asarray(enc(x), dtype=np.float32))
+        all_a.append(np.asarray(enc(variables["params"], x), np.float32))
         all_attr.append(
             np.asarray(attr) if attr is not None else
             np.full((len(all_a[-1]),), "No Attributes", dtype=object)
@@ -224,10 +235,7 @@ def _encode_dataset(cfg: Config, model, variables):
 
 
 def _encode_batch(cfg: Config, model, variables, x):
-    a, _aq, mu, _lv = model.apply(
-        variables, x, method=type(model).encode, sample=False
-    )
-    return mu if cfg.kld_weight != 0 else a
+    return _eval_encoder(cfg, model)(variables["params"], x)
 
 
 def _nth_batch(loader, n: int):

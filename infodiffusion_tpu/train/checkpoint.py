@@ -43,6 +43,13 @@ def _path(root: str, epoch: int) -> str:
 # behind each other (Orbax allows one in-flight save per checkpointer)
 _async_ckptr: Optional[ocp.AsyncCheckpointer] = None
 
+# retention deferred past the in-flight async write: deleting older
+# epochs while the new one is still persisting would leave ZERO complete
+# checkpoints if the process dies mid-write (with keep=1 especially) —
+# so retention for an async save runs only once that save is finalized
+# (at the next save's barrier, or wait_for_saves)
+_pending_retention: Optional[tuple] = None
+
 
 def _get_async_ckptr() -> ocp.AsyncCheckpointer:
     global _async_ckptr
@@ -51,11 +58,20 @@ def _get_async_ckptr() -> ocp.AsyncCheckpointer:
     return _async_ckptr
 
 
+def _flush_pending_retention() -> None:
+    global _pending_retention
+    if _pending_retention is not None:
+        root, keep, epoch = _pending_retention
+        _pending_retention = None
+        _apply_retention(root, keep, current=epoch)
+
+
 def wait_for_saves() -> None:
     """Barrier for in-flight async checkpoint writes (call at train end
     and before a preemption exit)."""
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    _flush_pending_retention()
 
 
 def save_checkpoint(
@@ -75,10 +91,12 @@ def save_checkpoint(
     after saving (the reference keeps every weights file; production
     runs at save_epochs=1 want a bound).
     """
+    global _pending_retention
     path = _path(root, epoch)
     if async_save:
         ckptr = _get_async_ckptr()
         ckptr.wait_until_finished()  # at most one save in flight
+        _flush_pending_retention()  # previous save is finalized now
     else:
         ckptr = ocp.StandardCheckpointer()
     if jax.process_count() > 1 or async_save:
@@ -91,7 +109,10 @@ def save_checkpoint(
     if not async_save:
         ckptr.wait_until_finished()
     if keep is not None:
-        _apply_retention(root, keep, current=epoch)
+        if async_save:
+            _pending_retention = (root, keep, epoch)
+        else:
+            _apply_retention(root, keep, current=epoch)
     return path
 
 
@@ -151,10 +172,40 @@ def restore_params(root: str, epoch: int, target_params,
             f"Checkpoint {path} not found: eval modes load model-{{--epochs}}; {hint}."
         )
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)
-    params = restored["params"]
-    if prefer_ema and restored.get("ema_params") is not None:
-        params = restored["ema_params"]
-    # sanity: structure must match the model being evaluated
-    jax.tree.map(lambda a, b: None, params, target_params)
-    return params
+    # weights-only partial read: the full checkpoint is ~3-5x the params
+    # bytes (AdamW mu/nu + EMA + RNG); eval needs exactly one subtree.
+    # Metadata (no tensor data) decides the params-vs-EMA pick first.
+    try:
+        import warnings
+
+        tree = ckptr.metadata(path).item_metadata.tree
+        key = (
+            "ema_params"
+            if prefer_ema and tree.get("ema_params") is not None
+            else "params"
+        )
+        # sanity BEFORE the partial read: with transforms={} Orbax fills
+        # unmatched leaves from the item itself, so a structure mismatch
+        # would silently hand back the caller's (random-init) target
+        # params instead of raising
+        jax.tree.map(lambda a, b: None, tree[key], target_params)
+        item = {key: target_params}
+        restore_args = jax.tree.map(lambda _: ocp.RestoreArgs(), item)
+        with warnings.catch_warnings():
+            # single-host eval restore: the "sharding info from file" and
+            # transforms-API notes are expected here, not actionable
+            warnings.simplefilter("ignore")
+            out = ocp.PyTreeCheckpointer().restore(
+                path, item=item, transforms={}, restore_args=restore_args
+            )
+        return out[key]
+    except Exception:
+        # fall back to the full-state read (older checkpoint layouts);
+        # a genuine structure mismatch re-raises from tree.map below
+        restored = ckptr.restore(path)
+        params = restored["params"]
+        if prefer_ema and restored.get("ema_params") is not None:
+            params = restored["ema_params"]
+        # sanity: structure must match the model being evaluated
+        jax.tree.map(lambda a, b: None, params, target_params)
+        return params

@@ -92,15 +92,18 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
-def make_eval_encode_step(model) -> Callable:
-    """Jitted full-batch encoder pass used by save_latent / plot_latent /
-    disentangle (reference: run.py:386-392,415-443). Returns
-    (a, mu): caller picks per the regularizer table."""
+def make_eval_encode_step(model, pick_mu: bool = False) -> Callable:
+    """Jitted deterministic encoder pass used by the eval modes
+    (save_latent / plot_latent / disentangle / interpolate; reference:
+    run.py:386-392,415-443). ``pick_mu`` applies the regularizer table
+    (kld!=0 -> mu, else -> a; run.py:429-438) INSIDE the jit so only the
+    chosen latent crosses the device boundary. Params are an argument,
+    not a closure constant (CLAUDE.md benchmark trap 1)."""
 
     def encode(params, x):
         a, _aq, mu, _lv = model.apply(
             {"params": params}, x, method=type(model).encode, sample=False
         )
-        return a, mu
+        return mu if pick_mu else a
 
     return jax.jit(encode)

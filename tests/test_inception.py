@@ -272,3 +272,49 @@ def test_fid_score_path_with_inception_fixture(tmp_path, monkeypatch):
         np.testing.assert_allclose(got_kid, want_kid, rtol=5e-2, atol=1e-4)
     finally:
         inc._cached_extractor.cache_clear()
+
+
+def test_get_extractor_rejects_unknown_name():
+    """A typo'd extractor name must not silently hand back random-conv
+    features, whose scores are not Inception-comparable."""
+    from infodiffusion_tpu.metrics.fid import get_extractor
+
+    with pytest.raises(ValueError, match="unknown extractor"):
+        get_extractor("inceptionv4")
+    # the documented names still resolve
+    extract, tag = get_extractor("random")
+    assert tag.startswith("random")
+
+
+def test_default_weights_path_warns_on_bad_env(monkeypatch, tmp_path):
+    """A set-but-nonexistent INFODIFF_INCEPTION_WEIGHTS must warn, not
+    silently degrade to the fallback extractor."""
+    monkeypatch.setenv(
+        "INFODIFF_INCEPTION_WEIGHTS", str(tmp_path / "nope.pth")
+    )
+    with pytest.warns(UserWarning, match="nonexistent"):
+        assert inc.default_weights_path() is None
+
+
+def test_frechet_distance_retries_with_eps_offset(monkeypatch):
+    """Near-singular covariances can make sqrtm non-finite; like
+    pytorch-fid/clean-fid the implementation retries with a diagonal
+    eps offset instead of returning NaN."""
+    import scipy.linalg
+
+    from infodiffusion_tpu.metrics import fid as fidmod
+
+    real_sqrtm = scipy.linalg.sqrtm
+    calls = []
+
+    def flaky(m):
+        calls.append(1)
+        if len(calls) == 1:
+            return np.full(np.asarray(m).shape, np.nan)
+        return real_sqrtm(m)
+
+    monkeypatch.setattr(scipy.linalg, "sqrtm", flaky)
+    mu, sigma = np.zeros(4), np.eye(4)
+    d = fidmod.frechet_distance(mu, sigma, mu, sigma)
+    assert len(calls) == 2
+    assert np.isfinite(d) and d == pytest.approx(0.0, abs=1e-4)

@@ -270,3 +270,74 @@ def test_shard_for_mesh_warns_on_indivisible_batch():
         warnings.simplefilter("error")
         _, out = _shard_for_mesh(mesh, params, [jnp.ones((16, 4))])
     assert len(out[0].sharding.device_set) == 8
+
+
+def test_sampling_given_xt_matches_draw_path():
+    """The given-xT branch of .sampling (interpolate / disentangle /
+    latent_quality all pass xT) runs a jitted program whose key split
+    mirrors the draw branch exactly: handing it the xT the draw branch
+    would have drawn reproduces that trajectory bit-for-bit. Guards the
+    round-2 fix that moved this branch's key math inside the jit."""
+    import flax.linen as nn
+
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import (
+        DiffusionProcess,
+        LatentDiffusionProcess,
+        TwoPhaseDiffusionProcess,
+    )
+    from infodiffusion_tpu.models import Diff
+
+    class CondEps(nn.Module):
+        """eps(x, t, a): tiny stand-in for the conditional UNet."""
+
+        @nn.compact
+        def __call__(self, x, t, a):
+            shift = nn.Dense(1)(a)
+            return 0.1 * x + shift[:, None, None, :]
+
+    class UncondEps(nn.Module):
+        @nn.compact
+        def __call__(self, x, t):
+            return nn.Dense(x.shape[-1])(x)
+
+    cfg = Config(model="diff", dataset="mnist", diffusion_steps=6,
+                 deterministic=True, a_dim=4, input_size=8)
+    m = CondEps()
+    v = m.init(jr.PRNGKey(0), jnp.zeros((1, 8, 8, 1)),
+               jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4)))
+    p = DiffusionProcess(cfg, m, v, shape=(1, 8, 8))
+    key = jr.PRNGKey(3)
+    # un-strided and strided paths; a=None also drawn inside the jit
+    for num_steps in (None, 4):
+        drawn = p.sampling(key, sampling_number=4, num_steps=num_steps)
+        k_x, _, _ = jr.split(key, 3)
+        xT = jr.normal(k_x, (4, 8, 8, 1))
+        given = p.sampling(key, xT=xT, num_steps=num_steps)
+        np.testing.assert_array_equal(np.asarray(drawn), np.asarray(given))
+
+    # two-phase: same mirror across the model switch
+    m2 = UncondEps()
+    v2 = m2.init(jr.PRNGKey(1), jnp.zeros((1, 8, 8, 1)),
+                 jnp.zeros((1,), jnp.int32))
+    tp = TwoPhaseDiffusionProcess(
+        cfg.replace(split_step=3), m, v, m2, v2, shape=(1, 8, 8)
+    )
+    drawn = tp.sampling(key, sampling_number=4)
+    k_x, _, _ = jr.split(key, 3)
+    given = tp.sampling(key, xT=jr.normal(k_x, (4, 8, 8, 1)))
+    np.testing.assert_array_equal(np.asarray(drawn), np.asarray(given))
+
+    # latent: 2-way split (no a)
+    cfgL = Config(model="vanilla", dataset="mnist", diffusion_steps=6,
+                  deterministic=True, a_dim=8)
+    mL = Diff(T=6, shape=(1, 8, 8), is_latent=True)
+    vL = mL.init({"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+                  "dropout": jr.PRNGKey(2)}, jnp.zeros((8, 8)), 0,
+                 method=Diff.loss_fn)
+    pL = LatentDiffusionProcess(cfgL, mL, vL)
+    keyL = jr.PRNGKey(7)
+    drawnL = pL.sampling(keyL, sampling_number=5)
+    k_x, _ = jr.split(keyL)
+    givenL = pL.sampling(keyL, xT=jr.normal(k_x, (5, 8)))
+    np.testing.assert_array_equal(np.asarray(drawnL), np.asarray(givenL))
