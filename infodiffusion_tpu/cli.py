@@ -170,6 +170,16 @@ def dispatch(cfg: Config):
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    import os
+
+    if os.environ.get("INFODIFF_FORCE_CPU"):
+        # deterministic CPU runs (CI, or driving the CLI when the TPU
+        # tunnel is down). Env alone is not enough on hosts that pin a
+        # platform via sitecustomize — set the config knob too.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from infodiffusion_tpu.cache import enable_compilation_cache
 
     enable_compilation_cache()

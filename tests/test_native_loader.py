@@ -113,3 +113,32 @@ def test_native_png_writer_roundtrip(tmp_path):
     gp = [str(tmp_path / f"g{i}.png") for i in range(2)]
     assert write_png_batch(gp, g)
     np.testing.assert_array_equal(np.asarray(Image.open(gp[1])), g[1, :, :, 0])
+
+
+def test_native_corrupt_images_raise_not_crash(tmp_path):
+    """Corrupt inputs in a production data dir must surface as a Python
+    IOError naming the failure count — never a process crash (the C++
+    decoder traps libjpeg/libpng fatal errors via setjmp and zero-fills
+    the failed slot)."""
+    from infodiffusion_tpu.data.native import NativeImageBatcher
+
+    files = _make_images(tmp_path, n=2)
+    # truncated JPEG: valid header, body cut off
+    good = open(files[0], "rb").read()
+    trunc = tmp_path / "trunc.jpg"
+    trunc.write_bytes(good[: len(good) // 4])
+    # pure garbage with a .png name
+    garbage = tmp_path / "garbage.png"
+    garbage.write_bytes(b"\x00\x01notanimage" * 64)
+    # empty file
+    empty = tmp_path / "empty.jpg"
+    empty.write_bytes(b"")
+
+    bad = files + [str(trunc), str(garbage), str(empty)]
+    nat = NativeImageBatcher(bad, 32, center_crop=True, d2c=False)
+    with pytest.raises(IOError, match="failed to decode"):
+        nat.decode(np.arange(len(bad)))
+    # the batcher object survives and still decodes clean batches
+    out = nat.decode(np.arange(2))
+    assert out.shape == (2, 32, 32, 3)
+    assert out.std() > 1.0
