@@ -20,7 +20,8 @@ Per-dataset transform parity (reference: data.py:105-244):
 | ffhq     | 64                | yes  | (x-.5)/.5      | no      | none  |
 
 *  celeba's default branch is shuffle=False for latent-order
-   reproducibility (data.py:184); the eval_fid 3-way split shuffles.
+   reproducibility (data.py:184); the reference's eval_fid 3-way-split
+   branch (data.py:172-181) is dead code — see get_dataset / PARITY D17.
 ** the reference feeds raw 64x64 dsprites images while configuring
    input_size=32 (data.py:74-78,201-218) — its Encoder would crash on the
    mismatched flatten; we resize (nearest) to input_size so the pipeline
@@ -238,7 +239,12 @@ def _load_dsprites(data_dir: str, size: int) -> ArrayDataset:
     f = np.load(path, encoding="latin1", allow_pickle=True)
     imgs = f["imgs"]  # [N, 64, 64] uint8 in {0, 1}
     if size != imgs.shape[1]:
-        imgs = imgs[:, ::2, ::2] if size * 2 == imgs.shape[1] else imgs
+        # nearest-neighbor resize to input_size (PARITY.md D3) — for ANY
+        # size, not just the ::2 halving case; silently returning 64px
+        # images would contradict every input_size-derived setting
+        # (latent pseudo-shape, attn token counts, --sp threshold)
+        sel = (np.arange(size) * imgs.shape[1] // size).astype(np.int64)
+        imgs = imgs[:, sel][:, :, sel]
     # raw 0/1 floats like the reference (data.py:42: .float(), no scaling);
     # latents_values + latents_classes ride along as attrs
     attrs = np.concatenate(
@@ -259,7 +265,7 @@ def _list_images(root: str) -> List[str]:
     return out
 
 
-def _load_celeba(cfg, mode: str) -> ImageFolderDataset:
+def _load_celeba(cfg) -> ImageFolderDataset:
     """CelebA from the standard torchvision layout:
     {data_dir}/celeba/img_align_celeba/*.jpg, list_attr_celeba.txt,
     list_eval_partition.txt (reference: data.py:149-186)."""
@@ -415,15 +421,18 @@ def dataset_flags(name: str) -> Tuple[bool, bool]:
     return name in _FLIP, name in _SHUFFLE
 
 
-def get_dataset(cfg, mode: Optional[str] = None):
+def get_dataset(cfg):
     """Build the dataset for cfg (after with_dataset_config()).
 
-    For celeba in eval_fid-like modes the reference returns a 3-way
-    train/valid/test split with shuffle=True (data.py:174-181); here that
-    is exposed by passing mode='eval_fid' — we return the train split
-    (what the reference's eval_fid iteration uses) but shuffled.
+    The reference's celeba 3-way train/valid/test split branch
+    (data.py:172-181, modes attr_classification/eval_fid/reconstruction)
+    is DEAD code there: eval_fid only generates (run.py:265-309, no
+    dataloader), 'reconstruction' is not an accepted mode, and
+    attr_classification never reaches a dataloader. So every living
+    reference path iterates the deterministic train split, which is what
+    this returns; shuffling is the DataLoader's job (dataset_flags
+    table). PARITY.md D17.
     """
-    mode = mode or cfg.mode
     if cfg.data_dir == "synthetic" or os.environ.get("INFODIFF_SYNTHETIC_DATA"):
         return _synthetic(cfg)
     name = cfg.dataset
@@ -434,7 +443,7 @@ def get_dataset(cfg, mode: Optional[str] = None):
     if name == "dsprites":
         return _load_dsprites(cfg.data_dir, cfg.input_size)
     if name == "celeba":
-        return _load_celeba(cfg, mode)
+        return _load_celeba(cfg)
     if name in ("chairs", "ffhq"):
         sub = {"chairs": "3DChairs", "ffhq": "ffhq"}[name]
         root = os.path.join(cfg.data_dir, sub)

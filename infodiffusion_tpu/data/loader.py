@@ -60,10 +60,16 @@ class DataLoader:
             return self._rng.permutation(n)
         return np.arange(n)
 
-    def _assemble(self, idx: np.ndarray):
-        x, a = self.dataset.get_batch(idx)
+    def _assemble(self, idx: np.ndarray, local_rows: np.ndarray):
+        x, a = self.dataset.get_batch(idx[local_rows])
         if self.flip:
-            mask = self._rng.rand(len(idx)) < 0.5
+            # draw the flip mask for the GLOBAL batch, then slice this
+            # process's rows: every process makes the same RNG calls
+            # (same seed), so global row i gets the same flip decision
+            # on every host — and exactly the single-host decisions.
+            # Slicing per-process draws instead would correlate rows
+            # across hosts (row i and row i+B/P sharing one draw).
+            mask = (self._rng.rand(len(idx)) < 0.5)[local_rows]
             x[mask] = x[mask, :, ::-1, :]
         return (x, a) if self.with_attrs else x
 
@@ -106,16 +112,22 @@ class DataLoader:
             return False
 
         def producer():
-            for b in range(nb):
-                if stop.is_set():
-                    return
-                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                # device_put here so H2D transfer overlaps device compute
-                # (the reference pays .to(device) inside its hot loop,
-                # run.py:194)
-                if not put(self._device_put(self._assemble(idx[local_rows]))):
-                    return
-            put(None)
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    # device_put here so H2D transfer overlaps device
+                    # compute (the reference pays .to(device) inside its
+                    # hot loop, run.py:194)
+                    if not put(self._device_put(self._assemble(idx, local_rows))):
+                        return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # a decode/H2D failure must reach the consumer: dying
+                # silently here would leave q.get() blocked forever (a
+                # hung training job instead of a crash)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -124,6 +136,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

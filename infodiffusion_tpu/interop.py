@@ -235,27 +235,31 @@ def _unapply(tag: str, arr: np.ndarray) -> np.ndarray:
 
 
 def _model_spec(model):
-    """Per-top-module (prefix, levels, kind) table for the wrapper."""
+    """Per-top-module (prefix, levels, kind, bottleneck, nrb) table for
+    the wrapper. ``nrb`` is the wrapper's num_res_blocks — the skeleton
+    flat-index arithmetic (_skeleton_index) depends on it, so it must
+    come from the model, not a hardcoded 2."""
     from infodiffusion_tpu.models import Diff, InfoDiff, VAE
     from infodiffusion_tpu.models.wrappers import pick_ch_mult
 
+    nrb = getattr(model, "num_res_blocks", 2)
     if isinstance(model, InfoDiff):
         ch_mult = model.ch_mult or pick_ch_mult("diff", model.shape[1])
         return {
             "backbone": ("backbone.", len(ch_mult), "unet",
-                         model.is_bottleneck),
-            "encoder": ("encoder.", len(ch_mult), "unet", False),
+                         model.is_bottleneck, nrb),
+            "encoder": ("encoder.", len(ch_mult), "unet", False, nrb),
         }
     if isinstance(model, Diff):
         if model.is_latent:
-            return {"backbone": ("backbone.", 0, "latent", False)}
+            return {"backbone": ("backbone.", 0, "latent", False, nrb)}
         ch_mult = model.ch_mult or pick_ch_mult("vanilla", model.shape[1])
-        return {"backbone": ("backbone.", len(ch_mult), "unet", False)}
+        return {"backbone": ("backbone.", len(ch_mult), "unet", False, nrb)}
     if isinstance(model, VAE):
         ch_mult = model.ch_mult or pick_ch_mult("vae", model.shape[1])
         return {
-            "encoder": ("encoder.", len(ch_mult), "unet", False),
-            "decoder": ("decoder.", len(ch_mult), "unet", False),
+            "encoder": ("encoder.", len(ch_mult), "unet", False, nrb),
+            "decoder": ("decoder.", len(ch_mult), "unet", False, nrb),
         }
     raise TypeError(type(model))
 
@@ -268,12 +272,12 @@ def param_key_map(model, params) -> Dict[Tuple, Tuple[str, str]]:
     for path, _leaf in flat:
         keys = tuple(k.key for k in path)
         top = keys[0]
-        prefix, levels, kind, bottleneck = spec[top]
+        prefix, levels, kind, bottleneck, nrb = spec[top]
         sub = keys[1:]
         if kind == "latent":
             tkey, tag = _latent_leaf_spec(sub)
         else:
-            namer = _SkeletonNamer(levels)
+            namer = _SkeletonNamer(levels, nrb)
             tkey, tag = _leaf_spec(sub, namer, bottleneck)
         out[keys] = (prefix + tkey, tag)
     return out

@@ -104,6 +104,8 @@ class InfoDiff(nn.Module):
     epochs: int = 20
     attn: Tuple[int, ...] = (2,)
     ch_mult: Optional[Tuple[int, ...]] = None  # None -> reference table
+    num_res_blocks: int = 2  # reference fixes 2 (models.py:19); exposed so
+    # interop.param_key_map reads ONE source of truth for the skeleton
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -111,7 +113,7 @@ class InfoDiff(nn.Module):
         kw = dict(
             T=self.T, a_dim=self.a_dim, ch=self.unets_channels,
             ch_mult=ch_mult, out_ch=self.shape[0], attn=self.attn,
-            dtype=self.dtype,
+            num_res_blocks=self.num_res_blocks, dtype=self.dtype,
         )
         if self.is_bottleneck:
             self.backbone = BottleneckAuxUNet(**kw)
@@ -119,7 +121,8 @@ class InfoDiff(nn.Module):
             self.backbone = AuxiliaryUNet(**kw)
         self.encoder = Encoder(
             a_dim=self.a_dim, shape=self.shape, ch=self.encoder_channels,
-            ch_mult=ch_mult, attn=self.attn, dtype=self.dtype,
+            ch_mult=ch_mult, attn=self.attn,
+            num_res_blocks=self.num_res_blocks, dtype=self.dtype,
         )
         self.sched: Schedule = make_schedule(self.beta1, self.betaT, self.T)
 
@@ -216,6 +219,13 @@ class InfoDiff(nn.Module):
         return loss, aux
 
 
+# LatentUNet architecture the latent Diff wrapper instantiates
+# (reference: models.py:745-752 passes these to MLPSkipNet). The --pp
+# pipelined replica (parallel/pp.py) reads the SAME constants, so the
+# two paths cannot drift if one side changes.
+LATENT_BACKBONE_KWARGS = dict(num_layers=10, dropout=0.1)
+
+
 class Diff(nn.Module):
     """Vanilla / latent DDPM (reference: models.py:726-779)."""
 
@@ -227,19 +237,21 @@ class Diff(nn.Module):
     is_latent: bool = False
     attn: Tuple[int, ...] = (2,)
     ch_mult: Optional[Tuple[int, ...]] = None  # None -> reference table
+    num_res_blocks: int = 2
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         if self.is_latent:
             self.backbone = LatentUNet(
-                T=self.T, shape=self.shape, num_layers=10, dropout=0.1,
-                activation="silu", dtype=self.dtype,
+                T=self.T, shape=self.shape, activation="silu",
+                dtype=self.dtype, **LATENT_BACKBONE_KWARGS,
             )
         else:
             ch_mult = self.ch_mult or pick_ch_mult("vanilla", self.shape[1])
             self.backbone = UNet(
                 T=self.T, ch=self.unets_channels, ch_mult=ch_mult,
-                attn=self.attn, out_ch=self.shape[0], dtype=self.dtype,
+                attn=self.attn, out_ch=self.shape[0],
+                num_res_blocks=self.num_res_blocks, dtype=self.dtype,
             )
         self.sched: Schedule = make_schedule(self.beta1, self.betaT, self.T)
 
@@ -289,18 +301,18 @@ class VAE(nn.Module):
     epochs: int = 20
     attn: Tuple[int, ...] = (2,)
     ch_mult: Optional[Tuple[int, ...]] = None  # None -> reference table
+    num_res_blocks: int = 2
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         ch_mult = self.ch_mult or pick_ch_mult("vae", self.shape[1])
-        self.encoder = Encoder(
+        kw = dict(
             a_dim=self.a_dim, shape=self.shape, ch=self.encoder_channels,
-            ch_mult=ch_mult, attn=self.attn, dtype=self.dtype,
+            ch_mult=ch_mult, attn=self.attn,
+            num_res_blocks=self.num_res_blocks, dtype=self.dtype,
         )
-        self.decoder = Decoder(
-            a_dim=self.a_dim, shape=self.shape, ch=self.encoder_channels,
-            ch_mult=ch_mult, attn=self.attn, dtype=self.dtype,
-        )
+        self.encoder = Encoder(**kw)
+        self.decoder = Decoder(**kw)
 
     def encode(self, x, *, deterministic: bool = True, sample: bool = True):
         return self.encoder(x, deterministic=deterministic, sample=sample)

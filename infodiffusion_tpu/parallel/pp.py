@@ -259,16 +259,32 @@ def latent_pp_forward(
     axis: str = STAGE_AXIS,
     deterministic: bool = True,
     dropout_rng=None,
-    dropout: float = 0.1,
-    num_layers: int = 10,
-    time_emb_ch: int = 64,
+    dropout: float = None,
+    num_layers: int = None,
+    time_emb_ch: int = None,
     dtype=jnp.float32,
 ):
     """Full LatentUNet forward ([B, d] latents) with the middle stack
     pipelined over the 'stage' mesh axis. ``bb_params`` is the
     LatentUNet param subtree (state.params['backbone']); numerics match
-    models/latent_unet.py exactly when deterministic."""
+    models/latent_unet.py exactly when deterministic.
+
+    dropout / num_layers / time_emb_ch default to the SAME constants the
+    latent Diff wrapper builds its LatentUNet from
+    (models.wrappers.LATENT_BACKBONE_KWARGS + the LatentUNet field
+    default) — a single source of truth, so the pipelined replica cannot
+    silently drift from the sequential architecture."""
     import jax.random as jr
+
+    from infodiffusion_tpu.models.latent_unet import LatentUNet
+    from infodiffusion_tpu.models.wrappers import LATENT_BACKBONE_KWARGS
+
+    if dropout is None:
+        dropout = LATENT_BACKBONE_KWARGS["dropout"]
+    if num_layers is None:
+        num_layers = LATENT_BACKBONE_KWARGS["num_layers"]
+    if time_emb_ch is None:
+        time_emb_ch = LatentUNet.num_time_emb_channels
 
     from infodiffusion_tpu.nn.embeddings import timestep_embedding
 

@@ -66,6 +66,66 @@ def test_loader_shuffle_determinism_and_flip():
     )
 
 
+def test_loader_producer_exception_propagates():
+    """A decode failure in the prefetch thread must surface as an
+    exception at the iteration site, not a silent hang (the producer
+    enqueues the exception; the consumer re-raises)."""
+
+    class BoomDataset:
+        def __len__(self):
+            return 8
+
+        def get_batch(self, idx):
+            raise ValueError("decode failed")
+
+    dl = DataLoader(BoomDataset(), batch_size=4)
+    with pytest.raises(ValueError, match="decode failed"):
+        list(dl)
+
+
+def test_flip_mask_consistent_across_process_slices():
+    """Multi-host flip determinism: each process draws the flip mask for
+    the GLOBAL batch and slices its own rows, so (a) global row i gets
+    the same flip on every host and (b) the multi-host assembly equals
+    the single-host batch bit-for-bit."""
+    imgs = np.arange(8 * 4 * 4, dtype=np.uint8).reshape(8, 4, 4, 1)
+    ds = ArrayDataset(images=imgs)
+    idx = np.arange(8)
+
+    def loader():
+        return DataLoader(ds, batch_size=8, flip=True, seed=3)
+
+    full = loader()._assemble(idx, np.arange(8))
+    p0 = loader()._assemble(idx, np.arange(0, 4))   # "process 0" rows
+    p1 = loader()._assemble(idx, np.arange(4, 8))   # "process 1" rows
+    np.testing.assert_array_equal(np.concatenate([p0, p1]), full)
+
+
+def test_dsprites_resize_any_input_size(tmp_path):
+    """_load_dsprites must nearest-resize to ANY input_size (PARITY.md
+    D3), not just the 64->32 halving case — a silent 64px fallthrough
+    would contradict every input_size-derived setting downstream."""
+    from infodiffusion_tpu.data.datasets import _load_dsprites
+
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(6, 64, 64) < 0.5).astype(np.uint8)
+    d = tmp_path / "dsprites-dataset"
+    d.mkdir()
+    np.savez(
+        d / "dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz",
+        imgs=imgs,
+        latents_values=np.ones((6, 6)),
+        latents_classes=np.zeros((6, 6), np.int64),
+    )
+    for size in (16, 32, 64):
+        ds = _load_dsprites(str(tmp_path), size)
+        assert ds.images.shape == (6, size, size, 1)
+        sel = (np.arange(size) * 64 // size).astype(np.int64)
+        np.testing.assert_array_equal(
+            ds.images[..., 0], imgs[:, sel][:, :, sel]
+        )
+
+
 def test_dataset_flags_table():
     assert dataset_flags("mnist") == (False, False)
     assert dataset_flags("fmnist") == (True, False)

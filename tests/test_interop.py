@@ -81,6 +81,27 @@ def test_vanilla_unet_roundtrip():
     assert "backbone.downblocks.1.block3.3.weight" in sd  # 3-conv ResBlock
 
 
+def test_num_res_blocks_threads_into_key_map():
+    """param_key_map must read num_res_blocks from the MODEL — a
+    hardcoded nrb=2 would mis-index the flat ModuleList skeleton for
+    any other depth. With nrb=1, levels=2: down path is [block,
+    DownSample, block] (indices 0,1,2); up path is [block, block,
+    UpSample, block, block] (0,1,2,3,4)."""
+    model = Diff(T=8, shape=(1, 16, 16), unets_channels=32,
+                 ch_mult=(1, 2), attn=(1,), num_res_blocks=1)
+    x = jnp.zeros((1, 16, 16, 1))
+    v = model.init(RNGS, x, 0, method=Diff.loss_fn)
+    sd = _roundtrip(model, v["params"])  # strict bijection at nrb=1
+    assert "backbone.downblocks.0.block1.2.weight" in sd
+    assert "backbone.downblocks.1.main.weight" in sd  # DownSample
+    assert "backbone.downblocks.2.block1.2.weight" in sd
+    assert "backbone.upblocks.2.main.weight" in sd  # UpSample after 2
+    assert "backbone.upblocks.4.block1.0.weight" in sd
+    # no nrb=2-shaped indices may leak in
+    assert "backbone.downblocks.2.main.weight" not in sd
+    assert "backbone.upblocks.3.main.weight" not in sd
+
+
 def test_latent_unet_roundtrip():
     model = Diff(T=8, shape=(1, 8, 8), is_latent=True)
     x = jnp.zeros((2, 8))
