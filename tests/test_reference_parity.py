@@ -613,6 +613,167 @@ def test_vanilla_diff_composite_loss_matches_reference(ref):
     np.testing.assert_allclose(want, float(loss), atol=1e-4, rtol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# Gradient parity: d(loss)/d(theta) for EVERY live parameter agrees with
+# torch autograd on identical weights + batch + draws. This pins the whole
+# backward pass (conv/GN/attention/FiLM VJPs, the loss-term compositions,
+# and the interop layout transforms, which are element permutations and so
+# map gradients exactly like weights). Reference: models.py:632-696 under
+# torch autograd.
+# ---------------------------------------------------------------------------
+
+
+def _torch_grads(rm, loss):
+    loss.backward()
+    return {
+        k: p.grad.detach().cpu().numpy()
+        for k, p in rm.named_parameters()
+        if p.grad is not None  # dead crossattn params get no grad
+    }
+
+
+def _compare_grads(model, jax_grads, torch_grads, atol, rtol):
+    """Map our grad pytree through the torch-layout exporter and compare
+    every key torch also produced a grad for."""
+    from infodiffusion_tpu.interop import export_torch_state_dict
+
+    ours = export_torch_state_dict(model, jax_grads)
+    missing = set(torch_grads) - set(ours)
+    assert not missing, f"keys torch has grads for but we don't: {missing}"
+    for k, want in torch_grads.items():
+        np.testing.assert_allclose(
+            want, ours[k], atol=atol, rtol=rtol,
+            err_msg=f"gradient mismatch at {k}",
+        )
+
+
+def test_infodiff_loss_gradients_match_reference(ref):
+    """Full InfoDiff loss (denoise + recon + MMD + KLD, both regularizers
+    active) backward pass vs torch autograd, every parameter."""
+    import jax
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args(mmd_weight=0.1, kld_weight=1e-3)
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = InfoDiff(
+        T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE), unets_channels=CH,
+        encoder_channels=CH, epochs=2, mmd_weight=0.1, kld_weight=1e-3,
+    )
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+
+    rng = np.random.RandomState(21)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    t = rng.randint(0, T, (B,)).astype(np.int64)
+    eps = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    rep = rng.randn(B, A_DIM).astype(np.float32)
+    prior = rng.randn(B, A_DIM).astype(np.float32)
+
+    with _forced_draws(torch, t=t, randn_arrays=[eps, rep, prior]):
+        loss_t = rm.loss_fn(args, torch.from_numpy(x), curr_epoch=0)
+    tg = _torch_grads(rm, loss_t)
+
+    def loss_j(params):
+        loss, _aux = model.apply(
+            {"params": params}, jnp.asarray(_nhwc(x)), 0,
+            method=InfoDiff.loss_fn, deterministic=True,
+            t=jnp.asarray(t), eps=jnp.asarray(_nhwc(eps)),
+            reparam_eps=jnp.asarray(rep), prior_samples=jnp.asarray(prior),
+        )
+        return loss
+
+    jg = jax.grad(loss_j)(v["params"])
+    _compare_grads(model, jg, tg, atol=5e-4, rtol=5e-3)
+
+
+def test_latent_diff_loss_gradients_match_reference(ref):
+    """Latent MLP Diff backward pass vs torch autograd (LayerNorm +
+    FiLM-style time conditioning + skip MLP VJPs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import Diff
+
+    torch = ref.torch
+    args = _args(is_latent=True)
+    rm = ref.models.Diff(args, "cpu", shape=(1, A_DIM, A_DIM)).eval()
+
+    model = Diff(T=T, shape=(1, A_DIM, A_DIM), is_latent=True)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, A_DIM)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+    rng = np.random.RandomState(22)
+    z = rng.randn(B, A_DIM).astype(np.float32)
+    t = rng.randint(0, T, (B,)).astype(np.int64)
+    eps = rng.randn(B, A_DIM).astype(np.float32)
+
+    with _forced_draws(torch, t=t, randn_arrays=[eps]):
+        loss_t = rm.loss_fn(args, torch.from_numpy(z))
+    tg = _torch_grads(rm, loss_t)
+
+    def loss_j(params):
+        loss, _aux = model.apply(
+            {"params": params}, jnp.asarray(z), 0, method=Diff.loss_fn,
+            deterministic=True, t=jnp.asarray(t), eps=jnp.asarray(eps),
+        )
+        return loss
+
+    jg = jax.grad(loss_j)(v["params"])
+    _compare_grads(model, jg, tg, atol=5e-4, rtol=5e-3)
+
+
+def test_vae_loss_gradients_match_reference(ref):
+    """InfoVAE backward pass vs torch autograd (encoder + decoder +
+    MMD gradient flow through the reparametrized latent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.models import VAE
+
+    torch = ref.torch
+    args = _args(mmd_weight=0.1, kld_weight=0.0, model="vae")
+    rm = ref.models.VAE(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = VAE(a_dim=A_DIM, shape=(1, SIZE, SIZE), encoder_channels=CH,
+                mmd_weight=0.1, kld_weight=0.0, epochs=2)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=VAE.loss_fn),
+        _sd(rm),
+    )
+    rng = np.random.RandomState(23)
+    x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    rep = rng.randn(B, A_DIM).astype(np.float32)
+    prior = rng.randn(B, A_DIM).astype(np.float32)
+
+    with _forced_draws(torch, randn_arrays=[rep, prior]):
+        loss_t = rm.loss_fn(args, torch.from_numpy(x), curr_epoch=0)
+    tg = _torch_grads(rm, loss_t)
+
+    def loss_j(params):
+        loss, _aux = model.apply(
+            {"params": params}, jnp.asarray(_nhwc(x)), 0,
+            method=VAE.loss_fn, deterministic=True,
+            reparam_eps=jnp.asarray(rep), prior_samples=jnp.asarray(prior),
+        )
+        return loss
+
+    jg = jax.grad(loss_j)(v["params"])
+    _compare_grads(model, jg, tg, atol=5e-4, rtol=5e-3)
+
+
 @pytest.mark.parametrize(
     "mmd_w,kld_w,use_C,curr_epoch",
     [
