@@ -63,26 +63,42 @@ def sample_loop(
     *,
     deterministic: bool = False,
     eta: float = DEFAULT_ETA,
+    noises: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full-grid reverse diffusion (reference: sampling.py:23-60,89-101).
 
     ``deterministic=True`` selects the stochastic-DDIM (eta=0.01) branch
-    like the reference's ``--deterministic`` flag; otherwise DDPM."""
+    like the reference's ``--deterministic`` flag; otherwise DDPM.
+
+    ``noises`` optionally injects the per-step Gaussian draws — shape
+    [T, *xT.shape], ordered like the scan (noises[i] is used at timestep
+    idx = T-1-i; the idx==0 entry is ignored where the update rule zeroes
+    the noise). Cross-implementation parity tests force the reference's
+    torch draws through this; normal runs draw inside the jitted scan."""
     idxs = jnp.arange(sched.T - 1, -1, -1)
 
-    def body(carry, idx):
-        x, key = carry
-        key, k = jr.split(key)
+    def step(x, idx, noise):
         eps = eps_fn(x, _full_t(x, idx), a)
-        noise = jr.normal(k, x.shape, dtype=x.dtype)
         if deterministic:
-            x = ddim_step(sched, x, idx, eps, noise, eta=eta)
-        else:
-            noise = jnp.where(idx == 0, jnp.zeros_like(noise), noise)
-            x = ddpm_step(sched, x, idx, eps, noise)
-        return (x, key), None
+            return ddim_step(sched, x, idx, eps, noise, eta=eta)
+        noise = jnp.where(idx == 0, jnp.zeros_like(noise), noise)
+        return ddpm_step(sched, x, idx, eps, noise)
 
-    (x, _), _ = lax.scan(body, (xT, key), idxs)
+    if noises is None:
+        def body(carry, idx):
+            x, key = carry
+            key, k = jr.split(key)
+            noise = jr.normal(k, x.shape, dtype=x.dtype)
+            return (step(x, idx, noise), key), None
+
+        (x, _), _ = lax.scan(body, (xT, key), idxs)
+        return x
+
+    def body_inj(x, scan_in):
+        idx, noise = scan_in
+        return step(x, idx, noise), None
+
+    x, _ = lax.scan(body_inj, xT, (idxs, noises))
     return x
 
 

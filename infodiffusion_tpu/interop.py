@@ -320,7 +320,13 @@ def load_torch_state_dict(model, params, state_dict: Dict[str, np.ndarray],
             raise ValueError(
                 f"shape mismatch for {tkey}: {out.shape} vs {leaf.shape}"
             )
-        return jax.numpy.asarray(out, dtype=leaf.dtype)
+        # jnp.array (copy=True), NOT jnp.asarray: on the CPU backend
+        # asarray can zero-copy alias the numpy input, and that input is
+        # itself a VIEW of the torch tensor's storage (tensor.numpy()
+        # shares memory; the transpose transforms also return views) —
+        # a later in-place torch mutation (optimizer.step()) would then
+        # silently rewrite the "loaded" jax params.
+        return jax.numpy.array(out, dtype=leaf.dtype)
 
     new_params = jax.tree_util.tree_map_with_path(fill, params)
     if strict:

@@ -137,6 +137,28 @@ def test_vae_roundtrip_with_decoder_fca_permutation():
     )
 
 
+def test_loaded_params_do_not_alias_source_arrays():
+    """load_torch_state_dict must COPY: on the CPU backend jnp.asarray
+    can zero-copy alias the incoming numpy arrays, which in real use are
+    views of torch tensor storage — an in-place torch mutation after the
+    load (optimizer.step()) would then rewrite the jax params."""
+    model = Diff(T=8, shape=(1, 8, 8), is_latent=True)
+    x = jnp.zeros((2, 8))
+    v = model.init(RNGS, x, 0, method=Diff.loss_fn)
+    sd = export_torch_state_dict(model, v["params"])
+    sd = {k: np.array(a) for k, a in sd.items()}  # writable sources
+    loaded = load_torch_state_dict(model, v["params"], sd, strict=True)
+    snapshot = jax.tree.map(lambda a: np.array(a), loaded)
+    for a in sd.values():
+        a += 1.0  # the in-place mutation torch's opt.step() would do
+    jax.tree.map(
+        lambda want, got: np.testing.assert_array_equal(
+            want, np.asarray(got)
+        ),
+        snapshot, loaded,
+    )
+
+
 def test_load_ignores_dead_crossattn_keys():
     model = Diff(T=8, shape=(1, 8, 8), is_latent=True)
     x = jnp.zeros((2, 8))

@@ -354,6 +354,71 @@ def test_reverse_ddim_trajectory_matches_reference(ref):
     )
 
 
+@pytest.mark.parametrize("deterministic", [True, False])
+def test_forward_sampling_trajectory_matches_reference(ref, deterministic):
+    """Full generative trajectory xT -> x0 vs the torch reference's step
+    generators (_ddim_one_diffusion_step eta=0.01 / _ddpm_one_diffusion
+    _step, sampling.py:23-60), with the torch model in the loop and the
+    reference's own noise draws injected into our scan. This pins the
+    HEADLINE sampling path (what eval/eval_fid generate with) end to end,
+    not just single update rules."""
+    import jax.numpy as jnp
+
+    from infodiffusion_tpu.diffusion.samplers import sample_loop
+    from infodiffusion_tpu.diffusion.schedule import make_schedule
+    from infodiffusion_tpu.models import InfoDiff
+
+    torch = ref.torch
+    args = _args(deterministic=deterministic)
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+    proc = ref.sampling.DiffusionProcess(args, rm, "cpu", (1, SIZE, SIZE))
+
+    model = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                     unets_channels=CH, encoder_channels=CH, epochs=2)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+
+    rng = np.random.RandomState(6)
+    xT = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    a = rng.randn(B, A_DIM).astype(np.float32)
+    # reference noise draws: T-1 randn_like calls (idx T-1..1); at idx 0
+    # DDPM uses zeros_like and DDIM skips the draw entirely
+    step_noises = [rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+                   for _ in range(T - 1)]
+
+    gen = (proc._ddim_one_diffusion_step if deterministic
+           else proc._ddpm_one_diffusion_step)
+    with torch.no_grad(), _forced_draws(torch, randn_arrays=list(step_noises)):
+        x = torch.from_numpy(xT)
+        for x in gen(x, torch.from_numpy(a)):
+            pass
+        want = x.numpy()
+
+    sched = make_schedule(1e-5, 1e-2, T)
+    params = v["params"]
+
+    def eps_fn(x, t, a_):
+        return model.apply({"params": params}, x, t, a_, deterministic=True)
+
+    # noises[i] pairs with idx = T-1-i; the idx==0 slot is unused
+    noises = jnp.asarray(np.stack(
+        [_nhwc(n) for n in step_noises] + [np.zeros_like(_nhwc(xT))]
+    ))
+    import jax.random as jr
+
+    got = sample_loop(
+        eps_fn, sched, jnp.asarray(_nhwc(xT)), jr.PRNGKey(0),
+        jnp.asarray(a), deterministic=deterministic, noises=noises,
+    )
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=2e-3, rtol=1e-3
+    )
+
+
 def test_torch_checkpoint_file_roundtrip(ref, tmp_path):
     """The exact on-disk format the reference produces (torch.save of a
     state_dict, run.py:157) loads through interop.load_torch_checkpoint
@@ -772,6 +837,83 @@ def test_vae_loss_gradients_match_reference(ref):
 
     jg = jax.grad(loss_j)(v["params"])
     _compare_grads(model, jg, tg, atol=5e-4, rtol=5e-3)
+
+
+def test_optimizer_step_matches_torch_adamw(ref):
+    """Two optimizer steps on bitwise-identical gradients produce the
+    same updated parameters as the reference's torch pipeline
+    (AdamW(lr, wd=1e-5) + clip_grad_norm_(1.0), run.py:177,198-199).
+    Step 1 runs unclipped (norm < 1), step 2 scales the grads x50 so the
+    clip branch actually executes — this pins optax vs torch AdamW
+    moment math, bias correction, decoupled weight decay, and the
+    global-norm clip, independent of forward/backward roundoff (gradient
+    parity is pinned separately)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from infodiffusion_tpu.interop import (
+        export_torch_state_dict,
+        load_torch_state_dict,
+    )
+    from infodiffusion_tpu.models import Diff
+    from infodiffusion_tpu.train.state import make_optimizer
+
+    torch = ref.torch
+    LR = 1e-4
+    args = _args(is_latent=True)
+    rm = ref.models.Diff(args, "cpu", shape=(1, A_DIM, A_DIM))
+
+    model = Diff(T=T, shape=(1, A_DIM, A_DIM), is_latent=True)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, A_DIM)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+    params = v["params"]
+    # epochs=2, steps_per_epoch=100: both steps land in epoch 0, where
+    # the schedule is the base LR on both sides (staircase test pins the
+    # later epochs; torch's warmup scheduler only steps at epoch ends)
+    tx = make_optimizer(LR, epochs=2, steps_per_epoch=100)
+    opt_state = tx.init(params)
+
+    opt = torch.optim.AdamW(rm.parameters(), lr=LR, weight_decay=1e-5)
+    rng = np.random.RandomState(31)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    for step, scale in [(0, 1.0), (1, 50.0)]:
+        z = rng.randn(B, A_DIM).astype(np.float32)
+        t = rng.randint(0, T, (B,)).astype(np.int64)
+        eps = rng.randn(B, A_DIM).astype(np.float32)
+        opt.zero_grad()
+        with _forced_draws(torch, t=t, randn_arrays=[eps]):
+            loss = rm.loss_fn(args, torch.from_numpy(z))
+        loss.backward()
+        grad_sd = {}
+        for k, p in rm.named_parameters():
+            if p.grad is not None:
+                p.grad.mul_(scale)
+                grad_sd[k] = p.grad.detach().cpu().numpy()
+        gnorm = float(
+            torch.nn.utils.clip_grad_norm_(rm.parameters(), 1.0)
+        )
+        if step == 1:
+            assert gnorm > 1.0, "x50 grads must engage the clip branch"
+        opt.step()
+
+        # identical (pre-clip) grads into our optimizer chain
+        grads = load_torch_state_dict(model, zeros, grad_sd, strict=False)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    ours = export_torch_state_dict(model, params)
+    want = _sd(rm)
+    for k in ours:
+        np.testing.assert_allclose(
+            want[k], ours[k], atol=1e-6, rtol=1e-5,
+            err_msg=f"post-step parameter mismatch at {k}",
+        )
 
 
 @pytest.mark.parametrize(
