@@ -916,6 +916,70 @@ def test_optimizer_step_matches_torch_adamw(ref):
         )
 
 
+def test_lr_schedule_matches_reference_scheduler(ref):
+    """Per-epoch learning rates from the ACTUAL reference scheduler
+    stack (GradualWarmupScheduler(multiplier=2, warm_epoch=1) wrapping
+    CosineAnnealingLR(T_max=epochs), stepped once per epoch —
+    run.py:182-185,209, utils.py:133-160) vs our warmup_cosine_schedule
+    staircase.
+
+    Under torch >= 2.x the chained stack does NOT produce the intended
+    cosine: when the warmup hands over, it calls cos.get_lr() with
+    cos.last_epoch == 0 outside a step, which lands in the RECURSIVE
+    branch and multiplies by (1+cos(0))/(1+cos(-pi/T)) — a one-time
+    overshoot that telescopes into the whole tail being the intended
+    cosine scaled by 2/(1+cos(pi/T)) (+0.62% at T=20). Old torch (< 1.x
+    recursion rework) returned base_lrs at last_epoch==0 and produced
+    exactly the intended trace, which is what we implement. PARITY.md
+    D18 documents the divergence; this test pins BOTH sides of it."""
+    import math
+    import sys as _sys
+
+    from infodiffusion_tpu.train.state import warmup_cosine_schedule
+
+    torch = ref.torch
+    _sys.path.insert(0, REF)
+    try:
+        import utils as ref_utils
+    finally:
+        _sys.path.remove(REF)
+
+    LR, EPOCHS, S = 1e-4, 20, 7  # 7 steps/epoch on our side
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=LR, weight_decay=1e-5)
+    cos = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=EPOCHS, eta_min=0, last_epoch=-1
+    )
+    warm = ref_utils.GradualWarmupScheduler(
+        opt, multiplier=2.0, warm_epoch=1, after_scheduler=cos
+    )
+    torch_lrs = []
+    for _e in range(EPOCHS):
+        torch_lrs.append(opt.param_groups[0]["lr"])  # lr used this epoch
+        warm.step()  # reference steps at epoch end (run.py:209)
+
+    sched = warmup_cosine_schedule(LR, EPOCHS, steps_per_epoch=S)
+    ours = [float(sched(e * S)) for e in range(EPOCHS)]
+
+    # warmup epochs agree exactly: base, then 2*base
+    np.testing.assert_allclose(torch_lrs[:2], ours[:2], rtol=1e-6)
+    # torch-2.x tail = intended tail * 2/(1+cos(pi/T)) (PARITY.md D18)
+    warp = 2.0 / (1.0 + math.cos(math.pi / EPOCHS))
+    np.testing.assert_allclose(
+        torch_lrs[2:], [v * warp for v in ours[2:]], rtol=1e-5
+    )
+    # and our side IS the intended closed-form cosine on the doubled LR
+    intended = [
+        2 * LR * (1 + math.cos((e - 2) * math.pi / EPOCHS)) / 2
+        for e in range(2, EPOCHS)
+    ]
+    np.testing.assert_allclose(ours[2:], intended, rtol=1e-5)
+    # staircase: constant WITHIN each epoch (reference only steps the
+    # scheduler at epoch boundaries)
+    for e in range(EPOCHS):
+        assert float(sched(e * S)) == float(sched((e + 1) * S - 1))
+
+
 @pytest.mark.parametrize(
     "mmd_w,kld_w,use_C,curr_epoch",
     [
