@@ -132,6 +132,7 @@ def two_phase_sample_loop(
     deterministic: bool = False,
     eta: float = DEFAULT_ETA,
     reference_quirk: bool = False,
+    noises: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Two-phase sampling (reference: sampling.py:104-204).
 
@@ -139,14 +140,12 @@ def two_phase_sample_loop(
     ``n <= split_step`` (the high-noise phase) use the unconditional
     model, the rest the conditional one (sampling.py:136-139,153-156).
     ``reference_quirk=True`` reproduces the reference's dead branch where
-    the counter never advances (sampling.py:199-203)."""
+    the counter never advances (sampling.py:199-203). ``noises`` injects
+    the per-step Gaussian draws like ``sample_loop``'s."""
     idxs = jnp.arange(sched.T - 1, -1, -1)
     steps = jnp.arange(sched.T)  # n = 0, 1, ... alongside descending idx
 
-    def body(carry, scan_in):
-        idx, n = scan_in
-        x, key = carry
-        key, k = jr.split(key)
+    def eps_and_step(x, idx, n, noise):
         t = _full_t(x, idx)
         if reference_quirk:
             eps = eps_fn_uncond(x, t)
@@ -157,15 +156,27 @@ def two_phase_sample_loop(
                 lambda x_t: eps_fn_cond(x_t[0], x_t[1], a),
                 (x, t),
             )
-        noise = jr.normal(k, x.shape, dtype=x.dtype)
         if deterministic:
-            x = ddim_step(sched, x, idx, eps, noise, eta=eta)
-        else:
-            noise = jnp.where(idx == 0, jnp.zeros_like(noise), noise)
-            x = ddpm_step(sched, x, idx, eps, noise)
-        return (x, key), None
+            return ddim_step(sched, x, idx, eps, noise, eta=eta)
+        noise = jnp.where(idx == 0, jnp.zeros_like(noise), noise)
+        return ddpm_step(sched, x, idx, eps, noise)
 
-    (x, _), _ = lax.scan(body, (xT, key), (idxs, steps))
+    if noises is None:
+        def body(carry, scan_in):
+            idx, n = scan_in
+            x, key = carry
+            key, k = jr.split(key)
+            noise = jr.normal(k, x.shape, dtype=x.dtype)
+            return (eps_and_step(x, idx, n, noise), key), None
+
+        (x, _), _ = lax.scan(body, (xT, key), (idxs, steps))
+        return x
+
+    def body_inj(x, scan_in):
+        idx, n, noise = scan_in
+        return eps_and_step(x, idx, n, noise), None
+
+    x, _ = lax.scan(body_inj, xT, (idxs, steps, noises))
     return x
 
 

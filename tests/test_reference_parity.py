@@ -419,6 +419,90 @@ def test_forward_sampling_trajectory_matches_reference(ref, deterministic):
     )
 
 
+@pytest.mark.parametrize("deterministic", [True, False])
+def test_two_phase_quirk_trajectory_matches_reference(ref, deterministic):
+    """Full two-phase trajectory vs the ACTUAL torch
+    TwoPhaseDiffusionProcess.sampling (sampling.py:183-204): its phase
+    counter is bound once at t=0, so the unconditional model2 runs every
+    step (PARITY.md D1) — our --two_phase_reference_quirk reproduces
+    exactly that, pinned here with the torch models in the loop and
+    the reference's noise draws injected."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from infodiffusion_tpu.diffusion.samplers import two_phase_sample_loop
+    from infodiffusion_tpu.diffusion.schedule import make_schedule
+    from infodiffusion_tpu.models import Diff, InfoDiff
+
+    torch = ref.torch
+    args = _args(deterministic=deterministic, split_step=T // 2)
+    rm1 = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+    orig = ref.models.ResBlock
+
+    class _Shim(orig):  # dead crossattn kwarg, PARITY.md D14
+        def __init__(self, *a_, crossattn=False, **k):
+            orig.__init__(self, *a_, **k)
+
+    ref.models.ResBlock = _Shim
+    try:
+        vargs = _args(model="vanilla", deterministic=deterministic)
+        rm2 = ref.models.Diff(vargs, "cpu", shape=(1, SIZE, SIZE)).eval()
+    finally:
+        ref.models.ResBlock = orig
+    proc = ref.sampling.TwoPhaseDiffusionProcess(
+        args, rm1, rm2, "cpu", (1, SIZE, SIZE)
+    )
+
+    m1 = InfoDiff(T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE),
+                  unets_channels=CH, encoder_channels=CH, epochs=2)
+    v1 = _load(
+        m1,
+        lambda: m1.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                        method=InfoDiff.loss_fn),
+        _sd(rm1),
+    )
+    m2 = Diff(T=T, shape=(1, SIZE, SIZE), unets_channels=CH)
+    v2 = _load(
+        m2,
+        lambda: m2.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                        method=Diff.loss_fn),
+        _sd(rm2),
+    )
+
+    rng = np.random.RandomState(7)
+    xT = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+    a = rng.randn(B, A_DIM).astype(np.float32)
+    step_noises = [rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+                   for _ in range(T - 1)]
+    # DDPM additionally draws (zeros_like, uninjected) at idx 0; DDIM
+    # skips the idx-0 draw — either way T-1 randn_like pops
+    with torch.no_grad(), _forced_draws(torch, randn_arrays=list(step_noises)):
+        want = proc.sampling(
+            xT=torch.from_numpy(xT), a=torch.from_numpy(a)
+        ).numpy()
+
+    sched = make_schedule(1e-5, 1e-2, T)
+    p1, p2 = v1["params"], v2["params"]
+
+    def eps_cond(x, t, a_):
+        return m1.apply({"params": p1}, x, t, a_, deterministic=True)
+
+    def eps_uncond(x, t):
+        return m2.apply({"params": p2}, x, t, deterministic=True)
+
+    noises = jnp.asarray(np.stack(
+        [_nhwc(n) for n in step_noises] + [np.zeros_like(_nhwc(xT))]
+    ))
+    got = two_phase_sample_loop(
+        eps_cond, eps_uncond, sched, jnp.asarray(_nhwc(xT)), jr.PRNGKey(0),
+        jnp.asarray(a), T // 2, deterministic=deterministic,
+        reference_quirk=True, noises=noises,
+    )
+    np.testing.assert_allclose(
+        _nhwc(want), np.asarray(got), atol=2e-3, rtol=1e-3
+    )
+
+
 def test_torch_checkpoint_file_roundtrip(ref, tmp_path):
     """The exact on-disk format the reference produces (torch.save of a
     state_dict, run.py:157) loads through interop.load_torch_checkpoint
