@@ -503,6 +503,59 @@ def test_two_phase_quirk_trajectory_matches_reference(ref, deterministic):
     )
 
 
+@pytest.mark.parametrize("deterministic", [True, False])
+def test_latent_sampling_trajectory_matches_reference(ref, deterministic):
+    """Latent DDIM/DDPM trajectory over [B, a_dim] vectors vs the torch
+    LatentDiffusionProcess step generators (sampling.py:227-258), with
+    the torch LatentUNet in the loop and its noise draws injected —
+    the train_latent_ddim -> eval_fid --is_latent product path."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from infodiffusion_tpu.diffusion.samplers import sample_loop
+    from infodiffusion_tpu.diffusion.schedule import make_schedule
+    from infodiffusion_tpu.models import Diff
+
+    torch = ref.torch
+    args = _args(is_latent=True, deterministic=deterministic,
+                 split_step=T // 2)  # read by __init__, unused in latent
+    rm = ref.models.Diff(args, "cpu", shape=(1, A_DIM, A_DIM)).eval()
+    proc = ref.sampling.LatentDiffusionProcess(args, rm, "cpu")
+
+    model = Diff(T=T, shape=(1, A_DIM, A_DIM), is_latent=True)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, A_DIM)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+
+    rng = np.random.RandomState(9)
+    zT = rng.randn(B, A_DIM).astype(np.float32)
+    step_noises = [rng.randn(B, A_DIM).astype(np.float32)
+                   for _ in range(T - 1)]
+    gen = (proc._ddim_one_diffusion_step if deterministic
+           else proc._ddpm_one_diffusion_step)
+    with torch.no_grad(), _forced_draws(torch, randn_arrays=list(step_noises)):
+        z = torch.from_numpy(zT)
+        for z in gen(z):
+            pass
+        want = z.numpy()
+
+    sched = make_schedule(1e-5, 1e-2, T)
+    params = v["params"]
+
+    def eps_fn(z, t, _a):
+        return model.apply({"params": params}, z, t, deterministic=True)
+
+    noises = jnp.asarray(np.stack(step_noises + [np.zeros_like(zT)]))
+    got = sample_loop(
+        eps_fn, sched, jnp.asarray(zT), jr.PRNGKey(0),
+        deterministic=deterministic, noises=noises,
+    )
+    np.testing.assert_allclose(want, np.asarray(got), atol=1e-4, rtol=1e-3)
+
+
 def test_torch_checkpoint_file_roundtrip(ref, tmp_path):
     """The exact on-disk format the reference produces (torch.save of a
     state_dict, run.py:157) loads through interop.load_torch_checkpoint
