@@ -93,7 +93,7 @@ def test_celeba_folder_attrs_and_split(tmp_path):
             f.write(f"{n} {0 if j < 4 else (1 if j == 4 else 2)}\n")
 
     cfg = Config(dataset="celeba", data_dir=str(tmp_path)).with_dataset_config()
-    ds = _load_celeba(cfg, "train")
+    ds = _load_celeba(cfg)  # always the train split (PARITY.md D17)
     assert len(ds) == 4  # train split only
     assert ds.attrs.shape == (4, 40)
     assert set(np.unique(ds.attrs)) <= {0, 1}  # -1/+1 -> 0/1
