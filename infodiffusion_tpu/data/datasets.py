@@ -244,7 +244,10 @@ def _load_dsprites(data_dir: str, size: int) -> ArrayDataset:
         # images would contradict every input_size-derived setting
         # (latent pseudo-shape, attn token counts, --sp threshold)
         sel = (np.arange(size) * imgs.shape[1] // size).astype(np.int64)
-        imgs = imgs[:, sel][:, :, sel]
+        # one advanced index (not imgs[:, sel][:, :, sel]): the chained
+        # form materializes a [N, size, 64] intermediate — an extra
+        # ~1.5 GB transient on the real 737k-image dsprites
+        imgs = imgs[:, sel[:, None], sel[None, :]]
     # raw 0/1 floats like the reference (data.py:42: .float(), no scaling);
     # latents_values + latents_classes ride along as attrs
     attrs = np.concatenate(

@@ -60,16 +60,11 @@ class DataLoader:
             return self._rng.permutation(n)
         return np.arange(n)
 
-    def _assemble(self, idx: np.ndarray, local_rows: np.ndarray):
+    def _assemble(self, idx: np.ndarray, local_rows: np.ndarray,
+                  flip_mask=None):
         x, a = self.dataset.get_batch(idx[local_rows])
-        if self.flip:
-            # draw the flip mask for the GLOBAL batch, then slice this
-            # process's rows: every process makes the same RNG calls
-            # (same seed), so global row i gets the same flip decision
-            # on every host — and exactly the single-host decisions.
-            # Slicing per-process draws instead would correlate rows
-            # across hosts (row i and row i+B/P sharing one draw).
-            mask = (self._rng.rand(len(idx)) < 0.5)[local_rows]
+        if flip_mask is not None:
+            mask = flip_mask[local_rows]
             x[mask] = x[mask, :, ::-1, :]
         return (x, a) if self.with_attrs else x
 
@@ -92,9 +87,23 @@ class DataLoader:
         return local_row_indices(self.mesh, self.batch_size)
 
     def __iter__(self) -> Iterator:
+        # ALL RNG consumption happens here, up front, before the
+        # producer thread starts: exactly one permutation draw and one
+        # flip-mask block per epoch. Drawing lazily inside the producer
+        # would make the stream position depend on how far an abandoned
+        # iteration prefetched (e.g. the runner peeks one batch to build
+        # the train state) — timing-dependent shuffles/flips, and on a
+        # multi-host pod DIFFERENT orders per host (desynced global
+        # batches). Masks are drawn for GLOBAL batches and sliced per
+        # process in _assemble, so every host sees the same decisions —
+        # and, because rand(nb, B) consumes the MT19937 stream exactly
+        # like nb successive rand(B) calls, the same decisions the
+        # per-batch lazy draws produced.
         order = self._order()
         self._epoch += 1
         nb = len(self)
+        flip_masks = self._rng.rand(nb, self.batch_size) < 0.5 \
+            if self.flip else None
         local_rows = self._local_rows()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -117,10 +126,13 @@ class DataLoader:
                     if stop.is_set():
                         return
                     idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    mask = flip_masks[b] if flip_masks is not None else None
                     # device_put here so H2D transfer overlaps device
                     # compute (the reference pays .to(device) inside its
                     # hot loop, run.py:194)
-                    if not put(self._device_put(self._assemble(idx, local_rows))):
+                    if not put(self._device_put(
+                        self._assemble(idx, local_rows, mask)
+                    )):
                         return
                 put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised below

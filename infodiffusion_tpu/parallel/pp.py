@@ -27,7 +27,7 @@ stage contributes zeros).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -259,9 +259,9 @@ def latent_pp_forward(
     axis: str = STAGE_AXIS,
     deterministic: bool = True,
     dropout_rng=None,
-    dropout: float = None,
-    num_layers: int = None,
-    time_emb_ch: int = None,
+    dropout: Optional[float] = None,
+    num_layers: Optional[int] = None,
+    time_emb_ch: Optional[int] = None,
     dtype=jnp.float32,
 ):
     """Full LatentUNet forward ([B, d] latents) with the middle stack

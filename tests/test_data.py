@@ -84,21 +84,49 @@ def test_loader_producer_exception_propagates():
 
 
 def test_flip_mask_consistent_across_process_slices():
-    """Multi-host flip determinism: each process draws the flip mask for
-    the GLOBAL batch and slices its own rows, so (a) global row i gets
-    the same flip on every host and (b) the multi-host assembly equals
-    the single-host batch bit-for-bit."""
+    """Multi-host flip determinism: the flip mask is drawn for the
+    GLOBAL batch (up front, in __iter__) and each process slices its own
+    rows in _assemble, so (a) global row i gets the same flip on every
+    host and (b) the multi-host assembly equals the single-host batch
+    bit-for-bit."""
     imgs = np.arange(8 * 4 * 4, dtype=np.uint8).reshape(8, 4, 4, 1)
     ds = ArrayDataset(images=imgs)
     idx = np.arange(8)
+    mask = np.random.RandomState(3).rand(8) < 0.5
+    dl = DataLoader(ds, batch_size=8, flip=True, seed=3)
 
-    def loader():
-        return DataLoader(ds, batch_size=8, flip=True, seed=3)
-
-    full = loader()._assemble(idx, np.arange(8))
-    p0 = loader()._assemble(idx, np.arange(0, 4))   # "process 0" rows
-    p1 = loader()._assemble(idx, np.arange(4, 8))   # "process 1" rows
+    full = dl._assemble(idx, np.arange(8), mask)
+    p0 = dl._assemble(idx, np.arange(0, 4), mask)   # "process 0" rows
+    p1 = dl._assemble(idx, np.arange(4, 8), mask)   # "process 1" rows
     np.testing.assert_array_equal(np.concatenate([p0, p1]), full)
+
+
+def test_loader_rng_stream_immune_to_abandoned_iteration():
+    """Shuffle orders and flip masks are drawn up front in __iter__, so
+    an abandoned iteration (the runner peeks one batch to build the
+    train state) consumes a FIXED amount of RNG regardless of how far
+    the producer prefetched — epoch N's batches are identical whether or
+    not earlier epochs were fully consumed. Lazy per-batch draws inside
+    the producer thread would make this timing-dependent (and desync
+    hosts on a pod)."""
+    imgs = np.arange(16 * 4 * 4, dtype=np.uint8).reshape(16, 4, 4, 1)
+    ds = ArrayDataset(images=imgs)
+
+    def mk():
+        return DataLoader(ds, batch_size=4, shuffle=True, flip=True,
+                          seed=5)
+
+    a = mk()
+    _epoch1 = [np.asarray(b) for b in a]      # fully consumed
+    epoch2_full = [np.asarray(b) for b in a]
+
+    b = mk()
+    next(iter(b))                              # peek + abandon
+    epoch2_abandoned = [np.asarray(x) for x in b]
+
+    assert len(epoch2_full) == len(epoch2_abandoned) == 4
+    for want, got in zip(epoch2_full, epoch2_abandoned):
+        np.testing.assert_array_equal(want, got)
 
 
 def test_dsprites_resize_any_input_size(tmp_path):

@@ -1031,7 +1031,11 @@ def test_optimizer_step_matches_torch_adamw(ref):
         for k, p in rm.named_parameters():
             if p.grad is not None:
                 p.grad.mul_(scale)
-                grad_sd[k] = p.grad.detach().cpu().numpy()
+                # .copy(): .numpy() aliases the grad storage, which the
+                # in-place clip below rewrites — without it both sides
+                # would consume post-clip grads and our clip branch
+                # would never be exercised against torch's
+                grad_sd[k] = p.grad.detach().cpu().numpy().copy()
         gnorm = float(
             torch.nn.utils.clip_grad_norm_(rm.parameters(), 1.0)
         )
