@@ -60,6 +60,21 @@ class DataLoader:
             return self._rng.permutation(n)
         return np.arange(n)
 
+    def fast_forward(self, n_epochs: int) -> None:
+        """Advance the RNG stream past ``n_epochs`` epochs without
+        loading any data — exactly the draws __iter__ makes (one
+        permutation if shuffling, one flip-mask block if flipping).
+        --resume uses this so a resumed run's epoch k sees the SAME
+        shuffle order and flip masks the uninterrupted run's epoch k
+        saw (the step-noise half of that guarantee comes from keys
+        folded from (seed, step), PARITY.md D7)."""
+        for _ in range(n_epochs):
+            if self.shuffle:
+                self._rng.permutation(len(self.dataset))
+            if self.flip:
+                self._rng.rand(len(self), self.batch_size)
+            self._epoch += 1
+
     def _assemble(self, idx: np.ndarray, local_rows: np.ndarray,
                   flip_mask=None):
         x, a = self.dataset.get_batch(idx[local_rows])

@@ -363,6 +363,11 @@ def train(cfg: Config, latent: bool = False):
         if last is not None:
             state = restore_checkpoint(ckpt_root, last, state)
             start_epoch = last
+            # align the data stream: epoch k of the resumed run must see
+            # the same shuffle order / flip masks the uninterrupted
+            # run's epoch k saw (noise keys already align via
+            # (seed, step) folding — PARITY.md D7)
+            loader.fast_forward(start_epoch)
             print(f"Resumed from epoch {last}")
 
     losses = AverageMeter("Loss", ":.4f")

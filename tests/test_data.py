@@ -129,6 +129,32 @@ def test_loader_rng_stream_immune_to_abandoned_iteration():
         np.testing.assert_array_equal(want, got)
 
 
+def test_loader_fast_forward_aligns_resumed_epochs():
+    """--resume data alignment: fast_forward(k) advances the RNG stream
+    exactly as k consumed epochs would, so a resumed loader's next epoch
+    reproduces the uninterrupted run's epoch k+1 bit-for-bit (shuffle
+    order AND flip masks)."""
+    imgs = np.arange(16 * 4 * 4, dtype=np.uint8).reshape(16, 4, 4, 1)
+    ds = ArrayDataset(images=imgs)
+
+    def mk():
+        return DataLoader(ds, batch_size=4, shuffle=True, flip=True,
+                          seed=9)
+
+    a = mk()
+    for _ in range(2):               # consume epochs 1-2
+        list(a)
+    epoch3 = [np.asarray(b) for b in a]
+
+    b = mk()
+    b.fast_forward(2)
+    epoch3_resumed = [np.asarray(x) for x in b]
+
+    assert len(epoch3) == len(epoch3_resumed) == 4
+    for want, got in zip(epoch3, epoch3_resumed):
+        np.testing.assert_array_equal(want, got)
+
+
 def test_dsprites_resize_any_input_size(tmp_path):
     """_load_dsprites must nearest-resize to ANY input_size (PARITY.md
     D3), not just the 64->32 halving case — a silent 64px fallthrough

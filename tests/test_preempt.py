@@ -52,6 +52,42 @@ def test_fault_injected_preemption_then_resume(workdir, monkeypatch):
     assert int(state2.step) == 2 + 3 * 4
 
 
+def test_resume_matches_uninterrupted_training(workdir):
+    """Epoch-boundary resume is EXACT: restoring the epoch-1 checkpoint
+    and training epochs 2-3 reproduces the uninterrupted 3-epoch run
+    bit-for-bit. This pins all three resume alignments together — full
+    optimizer state (Orbax), per-step noise keys folded from
+    (seed, step), and the data stream (loader.fast_forward replays the
+    shuffle/flip RNG the consumed epochs drew)."""
+    import shutil
+
+    import jax
+
+    root = "models/mnist_8d_0.1mmd_latent"
+    state_full = dispatch(_latent_cfg(["--save_epochs", "1"]))
+    assert int(state_full.step) == 3 * 4
+
+    # keep only the epoch-1 checkpoint, then resume to completion
+    shutil.rmtree(f"{root}/model-2")
+    shutil.rmtree(f"{root}/model-3")
+    state_resumed = dispatch(_latent_cfg(["--save_epochs", "10",
+                                          "--resume"]))
+    assert int(state_resumed.step) == 3 * 4
+
+    jax.tree.map(
+        lambda want, got: np.testing.assert_array_equal(
+            np.asarray(want), np.asarray(got)
+        ),
+        state_full.params, state_resumed.params,
+    )
+    jax.tree.map(
+        lambda want, got: np.testing.assert_array_equal(
+            np.asarray(want), np.asarray(got)
+        ),
+        state_full.opt_state, state_resumed.opt_state,
+    )
+
+
 def test_sigterm_sets_preempt_flag():
     runner._PREEMPTED.clear()
     prev = signal.signal(signal.SIGTERM, runner.request_preempt)
