@@ -33,6 +33,11 @@ def make_mesh(
     """(data, model) mesh over the first ``n_devices`` local devices."""
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
+    if n < 1 or n > len(devices):
+        raise ValueError(
+            f"mesh wants {n} devices but only {len(devices)} are "
+            f"available (--mesh_devices)"
+        )
     if model_parallel < 1 or n % model_parallel:
         raise ValueError(
             f"tensor-parallel size {model_parallel} (--tp) must divide "
@@ -46,7 +51,11 @@ def make_1d_mesh(n: int, axis: str, devices=None) -> Mesh:
     """One-axis mesh over the first n devices — used by the PP ('stage')
     and SP ('seq') executors."""
     devices = devices if devices is not None else jax.devices()[:n]
-    assert len(devices) == n, (len(devices), n)
+    if len(devices) != n:
+        raise ValueError(
+            f"'{axis}' mesh wants {n} devices but only {len(devices)} "
+            f"are available"
+        )
     return Mesh(np.asarray(devices), (axis,))
 
 

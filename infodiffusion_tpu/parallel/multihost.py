@@ -24,6 +24,7 @@ here:
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Sequence
 
@@ -90,6 +91,25 @@ def local_row_indices(mesh, global_batch: int) -> np.ndarray:
     return np.unique(np.concatenate(rows))
 
 
+@functools.lru_cache(maxsize=16)
+def _shard_plan(mesh, global_batch: int):
+    """Per-(mesh, global_batch) placement plan: sharding, expected local
+    row count, and this process's (device, local_start, length) slices.
+    mesh and global_batch are fixed for a run's lifetime, and this runs
+    once per training batch inside the prefetch thread — recomputing
+    the devices_indices_map walk per leaf per step is O(devices) host
+    work for nothing on large pods."""
+    sh = batch_sharding(mesh)
+    rows = local_row_indices(mesh, global_batch)
+    offset = {int(r): i for i, r in enumerate(rows)}
+    mine = tuple(
+        (dev, offset[start], stop - start)
+        for dev, (start, stop) in _device_rows(sh, global_batch)
+        if dev.process_index == jax.process_index()
+    )
+    return sh, len(rows), mine
+
+
 def shard_batch_global(mesh, local_batch, global_batch: int | None = None):
     """Build a global batch-sharded ``jax.Array`` (or pytree of them)
     from this process's local rows.
@@ -109,20 +129,15 @@ def shard_batch_global(mesh, local_batch, global_batch: int | None = None):
             if global_batch is None
             else global_batch
         )
-        sh = batch_sharding(mesh)
-        rows = local_row_indices(mesh, gb)
-        if len(rows) != x.shape[0]:
+        sh, n_rows, mine = _shard_plan(mesh, gb)
+        if n_rows != x.shape[0]:
             raise ValueError(
                 f"local batch has {x.shape[0]} rows; this process's "
-                f"devices own {len(rows)} of the global {gb}"
+                f"devices own {n_rows} of the global {gb}"
             )
-        offset = {int(r): i for i, r in enumerate(rows)}
-        arrays = []
-        for dev, (start, stop) in _device_rows(sh, gb):
-            if dev.process_index != jax.process_index():
-                continue
-            local = x[offset[start] : offset[start] + (stop - start)]
-            arrays.append(jax.device_put(local, dev))
+        arrays = [
+            jax.device_put(x[lo : lo + ln], dev) for dev, lo, ln in mine
+        ]
         return jax.make_array_from_single_device_arrays(
             (gb,) + x.shape[1:], sh, arrays
         )

@@ -199,7 +199,10 @@ def reshape_for_stages(stacked: Any, n_stages: int) -> Any:
 
     def r(leaf):
         L = leaf.shape[0]
-        assert L % n_stages == 0, (L, n_stages)
+        if L % n_stages:
+            raise ValueError(
+                f"{L} stacked layers do not split over {n_stages} stages"
+            )
         return leaf.reshape((n_stages, L // n_stages) + leaf.shape[1:])
 
     return jax.tree.map(r, stacked)
@@ -291,6 +294,11 @@ def latent_pp_forward(
     B, d = x.shape
     S = int(mesh.shape[axis])
     M = int(microbatches)
+    if M < 1:
+        raise ValueError(
+            f"--pp microbatch count must be >= 1, got {M} "
+            "(INFODIFF_PP_MICROBATCHES)"
+        )
     if B % M:
         raise ValueError(
             f"batch size {B} must be divisible by the microbatch count {M} "
@@ -303,12 +311,15 @@ def latent_pp_forward(
         )
     lps = L // S
 
-    # time embed: sinusoid(64) -> Dense(d) -> SiLU -> Dense(d)
+    # time embed: sinusoid -> [Dense -> SiLU]*(n-1) -> Dense; depth read
+    # from LatentUNet.num_time_layers like the channel count above, so
+    # a derivative changing it cannot silently diverge from this replica
+    n_time = LatentUNet.num_time_layers
     temb = timestep_embedding(t, time_emb_ch).astype(dtype)
-    for i in range(2):
+    for i in range(n_time):
         w = bb_params[f"time_embed_{i}"]
         temb = temb @ w["kernel"].astype(dtype) + w["bias"].astype(dtype)
-        if i == 0:
+        if i < n_time - 1:
             temb = jax.nn.silu(temb)
 
     use_masks = (not deterministic) and dropout > 0.0

@@ -26,7 +26,9 @@ from typing import Optional
 
 from jax.sharding import Mesh
 
-SEQ_AXIS = "seq"
+# single source of truth for the axis name: the mesh builder
+# (ring_attention.make_seq_mesh) and this router must agree
+from infodiffusion_tpu.parallel.ring_attention import SEQ_AXIS
 
 _STATE = {"mesh": None, "axis": SEQ_AXIS, "min_tokens": None}
 

@@ -340,6 +340,10 @@ def train(cfg: Config, latent: bool = False):
         microbatches = int(
             os.environ.get("INFODIFF_PP_MICROBATCHES", str(cfg.pp))
         )
+        if microbatches < 1:
+            raise SystemExit(
+                f"INFODIFF_PP_MICROBATCHES must be >= 1, got {microbatches}"
+            )
         if cfg.batch_size % microbatches:
             raise ValueError(
                 f"--batch_size {cfg.batch_size} must be divisible by the "
