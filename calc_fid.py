@@ -4,9 +4,11 @@ compute_kid with dataset_res=64, num_gen=10000)."""
 
 import sys
 
+from infodiffusion_tpu.cache import force_cpu_if_requested
 from infodiffusion_tpu.metrics.fid import compute_fid, compute_kid
 
 if __name__ == "__main__":
+    force_cpu_if_requested()
     dataset_name = sys.argv[1]
     folder_1 = sys.argv[2]
     kwargs = dict(dataset_name=dataset_name, dataset_res=64, num_gen=10000)

@@ -10,6 +10,20 @@ from __future__ import annotations
 import os
 
 
+def force_cpu_if_requested() -> None:
+    """INFODIFF_FORCE_CPU=1: deterministic CPU runs (CI, or driving any
+    CLI entry point while the TPU tunnel is down). Env alone is not
+    enough on hosts that pin a platform via sitecustomize — the config
+    knob must be set too (works even after jax import: the backend
+    initializes lazily on first use). Every CLI entry point (cli.main,
+    gen_fid_stats, calc_fid, eval_disentanglement) calls this first."""
+    if os.environ.get("INFODIFF_FORCE_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 

@@ -170,18 +170,12 @@ def dispatch(cfg: Config):
 
 
 def main(argv: Optional[Sequence[str]] = None):
-    import os
+    from infodiffusion_tpu.cache import (
+        enable_compilation_cache,
+        force_cpu_if_requested,
+    )
 
-    if os.environ.get("INFODIFF_FORCE_CPU"):
-        # deterministic CPU runs (CI, or driving the CLI when the TPU
-        # tunnel is down). Env alone is not enough on hosts that pin a
-        # platform via sitecustomize — set the config knob too.
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    from infodiffusion_tpu.cache import enable_compilation_cache
-
+    force_cpu_if_requested()
     enable_compilation_cache()
     cfg = parse_args(argv)
     from infodiffusion_tpu.parallel.multihost import maybe_initialize

@@ -61,6 +61,17 @@ def load_latents(cfg: Config, dataset: str, npz_path: Optional[str] = None):
     path = npz_path or latent_npz_path(cfg)
     data = np.load(path, allow_pickle=True)
     all_a, all_attr = data["all_a"], data["all_attr"]
+    if all_attr.dtype.kind not in "biuf":
+        # save_latent writes the string 'No Attributes' for label-less
+        # datasets (chairs, ffhq without ffhq_labels.csv) — fail with a
+        # real explanation instead of astype/indexing errors downstream
+        raise ValueError(
+            f"{path} carries no usable labels (all_attr dtype "
+            f"{all_attr.dtype}): the dataset it was encoded from has no "
+            "attributes, and the disentanglement protocol needs labeled "
+            "latents (celeba / dsprites / mnist / fmnist / cifar10, or "
+            "ffhq with ffhq_labels.csv)"
+        )
     if dataset == "celeba":
         a = all_a[:10000, :]
         y = all_attr[:10000, :].astype(np.int64)
@@ -143,36 +154,60 @@ def evaluate_latents(a, y, dataset: str, verbose: bool = True):
     out = {}
     if dci_scores:
         dci_scores = np.asarray(dci_scores)
-        print("DCI Score, {:.4f} \\pm {:.4f}".format(dci_scores.mean(),
-                                                     dci_scores.std()))
+        if verbose:
+            print("DCI Score, {:.4f} \\pm {:.4f}".format(
+                dci_scores.mean(), dci_scores.std()))
         out["dci"] = (dci_scores.mean(), dci_scores.std())
     if tad_scores:
         tad_scores = np.asarray(tad_scores)
         tad_attrs = np.asarray(tad_attrs)
-        print("TAD Score, {:.4f} \\pm {:.4f}".format(tad_scores.mean(),
-                                                     tad_scores.std()))
-        print("TAD Attr, {:.4f} \\pm {:.4f}".format(tad_attrs.mean(),
-                                                    tad_attrs.std()))
+        if verbose:
+            print("TAD Score, {:.4f} \\pm {:.4f}".format(
+                tad_scores.mean(), tad_scores.std()))
+            print("TAD Attr, {:.4f} \\pm {:.4f}".format(
+                tad_attrs.mean(), tad_attrs.std()))
         out["tad"] = (tad_scores.mean(), tad_scores.std())
         out["tad_attrs"] = (tad_attrs.mean(), tad_attrs.std())
     avg_preds_ln = np.asarray(avg_preds_ln)
-    print("Avg Acc (Linear), {:.4f} \\pm {:.4f}".format(avg_preds_ln.mean(),
-                                                        avg_preds_ln.std()))
+    if verbose:
+        print("Avg Acc (Linear), {:.4f} \\pm {:.4f}".format(
+            avg_preds_ln.mean(), avg_preds_ln.std()))
     out["linear_probe"] = (avg_preds_ln.mean(), avg_preds_ln.std())
     preds_ln = np.vstack(preds_ln)
-    for a_idx in range(preds_ln.shape[1]):
-        print(
-            "Acc for {} (Linear), {:.4f} \\pm {:.4f}".format(
-                y_names[a_idx] if a_idx < len(y_names) else a_idx,
-                preds_ln[:, a_idx].mean(), preds_ln[:, a_idx].std(),
+    if verbose:
+        for a_idx in range(preds_ln.shape[1]):
+            print(
+                "Acc for {} (Linear), {:.4f} \\pm {:.4f}".format(
+                    y_names[a_idx] if a_idx < len(y_names) else a_idx,
+                    preds_ln[:, a_idx].mean(), preds_ln[:, a_idx].std(),
+                )
             )
-        )
     return out
 
 
 def main(argv: Optional[Sequence[str]] = None):
-    args = build_parser(require_mode=False).parse_args(argv)
-    cfg = Config(**vars(args))
+    from infodiffusion_tpu.cache import force_cpu_if_requested
+
+    force_cpu_if_requested()
+    parser = build_parser(require_mode=False)
+    # this tool additionally evaluates 3dshapes latents (label transforms
+    # above, reference: eval_disentanglement.py:404-411) even though the
+    # training CLI has no 3dshapes data loader — widen the choices
+    for act in parser._actions:
+        if act.dest == "dataset" and act.choices is not None \
+                and "3dshapes" not in act.choices:
+            act.choices = tuple(act.choices) + ("3dshapes",)
+    args = parser.parse_args(argv)
+    if args.dataset == "3dshapes":
+        # Config validates against the TRAINING datasets; 3dshapes
+        # latents come from elsewhere and exist only for this tool.
+        # Build past validation, then restore the name (it only feeds
+        # the npz filename and the label-transform dispatch).
+        d = {**vars(args), "dataset": "celeba"}
+        cfg = Config(**d)
+        cfg.dataset = "3dshapes"
+    else:
+        cfg = Config(**vars(args))
     a, y = load_latents(cfg, cfg.dataset)
     return evaluate_latents(a, y, cfg.dataset)
 

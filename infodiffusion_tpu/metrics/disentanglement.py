@@ -114,14 +114,28 @@ class PredMetric:
 
         results = []
         for j in range(train_attrs.shape[-1]):
+            tr_col, te_col = train_attrs[:, j], test_attrs[:, j]
+            uniq = np.unique(tr_col)
+            if len(uniq) < 2 or (
+                self.output_type == "b" and len(np.unique(te_col)) < 2
+            ):
+                # degenerate attribute in this fold (single class):
+                # LogisticRegression's predict_proba has one column and
+                # AUROC is undefined — score it chance / majority like
+                # TADMetric's constant-attr guard instead of crashing
+                results.append(
+                    0.5 if self.output_type == "b"
+                    else float(np.mean(te_col == uniq[0]))
+                )
+                continue
             predictor = self.predictor_class(**self.params)
-            predictor.fit(train_codes, train_attrs[:, j])
+            predictor.fit(train_codes, tr_col)
             if self.output_type == "b":
                 prob = predictor.predict_proba(test_codes)[:, 1]
-                r = roc_auc_score(test_attrs[:, j], prob)
+                r = roc_auc_score(te_col, prob)
             else:
                 pred = predictor.predict(test_codes)
-                r = accuracy_score(test_attrs[:, j], pred)
+                r = accuracy_score(te_col, pred)
             results.append(r)
         results = np.asarray(results)
         return {

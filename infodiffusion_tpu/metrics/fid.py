@@ -32,7 +32,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-STATS_DIR = os.environ.get("INFODIFF_FID_STATS_DIR", "./fid_stats")
+def stats_dir() -> str:
+    """Resolved per call so INFODIFF_FID_STATS_DIR set after import (or
+    monkeypatched in tests) is honored."""
+    return os.environ.get("INFODIFF_FID_STATS_DIR", "./fid_stats")
 
 
 # ---------------------------------------------------------------------------
@@ -52,7 +55,14 @@ def _try_inception_extractor():
         model = build_feature_extractor(mode="clean", device=device)
 
         def extract(batch_u8):  # [B, H, W, 3] uint8
-            x = torch.from_numpy(batch_u8.transpose(0, 3, 1, 2)).float()
+            # clean-mode extractors expect PRE-resized 299x299 float
+            # 0..255 input (resize_inside=False asserts the size) — the
+            # antialiased resize is ours to do, same clean_resize the
+            # JAX extractor uses
+            from infodiffusion_tpu.metrics.inception import clean_resize
+
+            x = clean_resize(batch_u8) * 255.0
+            x = torch.from_numpy(x.transpose(0, 3, 1, 2)).float()
             with torch.no_grad():
                 return model(x.to(device)).cpu().numpy()
 
@@ -133,7 +143,13 @@ def get_extractor(name: str = "auto"):
 # ---------------------------------------------------------------------------
 
 
-def _iter_folder(folder: str, res: int, batch: int = 256):
+def _iter_folder(folder: str, res: Optional[int], batch: int = 256):
+    """Batches of [B, H, W, 3] uint8. ``res=None`` keeps images at their
+    NATIVE size (flushing the buffer whenever the size changes) — the
+    clean-fid semantics, where the extractor's own antialiased 299
+    resize is the ONLY resample. An integer ``res`` pre-resizes with
+    quantized uint8 bicubic (needed for extractors without an internal
+    resize, whose inputs must share one resolution to be comparable)."""
     from PIL import Image
 
     from infodiffusion_tpu.data.datasets import _list_images
@@ -143,8 +159,14 @@ def _iter_folder(folder: str, res: int, batch: int = 256):
         raise FileNotFoundError(f"no images under {folder}")
     buf = []
     for p in files:
-        img = Image.open(p).convert("RGB").resize((res, res), Image.BICUBIC)
-        buf.append(np.asarray(img, np.uint8))
+        img = Image.open(p).convert("RGB")
+        if res is not None:
+            img = img.resize((res, res), Image.BICUBIC)
+        arr = np.asarray(img, np.uint8)
+        if buf and buf[-1].shape != arr.shape:
+            yield np.stack(buf)
+            buf = []
+        buf.append(arr)
         if len(buf) == batch:
             yield np.stack(buf)
             buf = []
@@ -157,9 +179,16 @@ def folder_features(
     max_images: Optional[int] = None,
 ) -> Tuple[np.ndarray, str]:
     extract, tag = get_extractor(extractor)
+    # inception extractors clean-resize to 299 internally: feed native
+    # sizes so that resize is the only resample, exactly like clean-fid
+    # feeds original images (an extra res x res uint8 bicubic first
+    # would shift scores off published numbers). The random-conv
+    # extractor has no internal resize — it keeps the res normalization
+    # so real and generated folders are extracted at one resolution.
+    size = None if tag.startswith("inception") else res
     feats = []
     n = 0
-    for batch in _iter_folder(folder, res):
+    for batch in _iter_folder(folder, size):
         feats.append(extract(batch))
         n += len(batch)
         if max_images is not None and n >= max_images:
@@ -197,6 +226,15 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
             (sigma1 + offset) @ (sigma2 + offset)
         )
     if np.iscomplexobj(covmean):
+        # like pytorch-fid: a large imaginary component means sqrtm
+        # genuinely failed — refuse to return a silently-wrong score
+        imax = float(np.max(np.abs(covmean.imag)))
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"covariance sqrtm failed (max imaginary component "
+                f"{imax:.3g}): too few images for the feature "
+                "dimensionality to form usable FID statistics"
+            )
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
 
@@ -226,8 +264,9 @@ def kid_score(
 
 
 def _stats_path(name: str, extractor_tag: str) -> str:
-    os.makedirs(STATS_DIR, exist_ok=True)
-    return os.path.join(STATS_DIR, f"{name}_{extractor_tag}.npz")
+    d = stats_dir()
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{name}_{extractor_tag}.npz")
 
 
 def make_custom_stats(

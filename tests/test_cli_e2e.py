@@ -84,7 +84,7 @@ def test_metrics_writer_jsonl(workdir):
     assert rec["train/loss"] == 0.5 and rec["step"] == 1
 
 
-def test_fid_pipeline_random_extractor(workdir, tmp_path):
+def test_fid_pipeline_random_extractor(workdir, tmp_path, monkeypatch):
     """make_custom_stats + compute_fid/kid with the fallback extractor:
     same-distribution folders score ~0, disjoint ones score higher."""
     from PIL import Image
@@ -106,7 +106,7 @@ def test_fid_pipeline_random_extractor(workdir, tmp_path):
             np.full((64, 64, 3), (i * 10) % 255, dtype=np.uint8)).save(
             fake_diff / f"{i}.png")
 
-    fidmod.STATS_DIR = str(tmp_path / "stats")
+    monkeypatch.setenv("INFODIFF_FID_STATS_DIR", str(tmp_path / "stats"))
     fidmod.make_custom_stats("synth", str(real), extractor="random")
     f_same = fidmod.compute_fid(str(fake_same), "synth", extractor="random")
     f_diff = fidmod.compute_fid(str(fake_diff), "synth", extractor="random")

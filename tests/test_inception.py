@@ -220,7 +220,7 @@ def test_fid_score_path_with_inception_fixture(tmp_path, monkeypatch):
     sd = make_state_dict(seed=2)
     torch.save(sd, ckpt)
     monkeypatch.setenv("INFODIFF_INCEPTION_WEIGHTS", str(ckpt))
-    monkeypatch.setattr(fidmod, "STATS_DIR", str(tmp_path / "stats"))
+    monkeypatch.setenv("INFODIFF_FID_STATS_DIR", str(tmp_path / "stats"))
     inc._cached_extractor.cache_clear()
 
     rng = np.random.RandomState(5)

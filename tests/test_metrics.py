@@ -126,3 +126,89 @@ def test_dsprites_eval_protocol(tmp_path, monkeypatch):
     # mean over factors incl. 40-class orientation with only 320 train
     # rows — well above the ~0.1 chance mean but not near 1
     assert acc_mean > 0.4
+
+
+def test_pred_metric_degenerate_fold_scores_chance():
+    """A train fold with a single class for some attribute must score
+    chance/majority instead of crashing (predict_proba has one column,
+    AUROC undefined) — the PredMetric counterpart of TAD's constant-attr
+    guard."""
+    from infodiffusion_tpu.metrics.disentanglement import PredMetric
+
+    rng = np.random.RandomState(0)
+    codes_tr, codes_te = rng.randn(40, 4), rng.randn(20, 4)
+    ok = (codes_tr[:, 0] > 0).astype(np.int64)
+    ok_te = (codes_te[:, 0] > 0).astype(np.int64)
+    const = np.zeros(40, np.int64)
+    const_te = np.zeros(20, np.int64)
+    attrs_tr = np.stack([ok, const], axis=1)
+    attrs_te = np.stack([ok_te, const_te], axis=1)
+
+    res_b = PredMetric("Linear", "b", ["ok", "const"]).evaluate(
+        codes_tr, attrs_tr, codes_te, attrs_te
+    )
+    assert res_b["Linear_result"][0] > 0.9   # learnable attr still scored
+    assert res_b["Linear_result"][1] == 0.5  # degenerate -> chance
+
+    res_c = PredMetric("Linear", "c", ["ok", "const"]).evaluate(
+        codes_tr, attrs_tr, codes_te, attrs_te
+    )
+    assert res_c["Linear_result"][1] == 1.0  # majority class everywhere
+
+
+def test_load_latents_attrless_dump_raises_clear_error(tmp_path):
+    """save_latent writes the string 'No Attributes' for label-less
+    datasets; the disentanglement loader must explain that instead of
+    failing in astype/indexing."""
+    import pytest
+
+    from infodiffusion_tpu.eval_disentanglement import load_latents
+
+    path = str(tmp_path / "diff_chairs_latent.npz")
+    np.savez(
+        path,
+        all_a=np.random.RandomState(0).randn(8, 4),
+        all_attr=np.array(["No Attributes"] * 8),
+    )
+    with pytest.raises(ValueError, match="no usable labels"):
+        load_latents(None, "chairs", npz_path=path)
+
+
+def test_eval_disentanglement_cli_accepts_3dshapes(tmp_path, monkeypatch):
+    """--dataset 3dshapes is this tool's own extension (label transforms
+    exist for it) even though the training CLI has no 3dshapes loader."""
+    monkeypatch.chdir(tmp_path)
+    from infodiffusion_tpu.eval_disentanglement import main
+
+    rng = np.random.RandomState(0)
+    # factors in the raw [0,1]-ish ranges the transforms expect; Shape
+    # (col 4) is untransformed and must already be integral 0..3 like
+    # the real dataset
+    y = rng.rand(64, 6)
+    y[:, 4] = rng.randint(0, 4, 64)
+    y[:, 5] = rng.rand(64) * 60  # raw orientation spans 0..60
+    a = np.concatenate([y, rng.randn(64, 2)], axis=1)
+    np.savez("diff_3dshapes_32d_0_1mmd_latent.npz", all_a=a, all_attr=y)
+    out = main([
+        "--model", "diff", "--prior", "regular", "--dataset", "3dshapes",
+        "--a_dim", "32", "--mmd_weight", "0.1",
+    ])
+    assert "dci" in out and "linear_probe" in out
+
+
+def test_iter_folder_native_size_batching(tmp_path):
+    """res=None keeps native sizes (clean-fid semantics: the extractor's
+    299 resize is the only resample), flushing the batch when the size
+    changes; an integer res pre-resizes."""
+    from PIL import Image
+
+    from infodiffusion_tpu.metrics.fid import _iter_folder
+
+    for i, size in enumerate([32, 32, 48]):
+        Image.new("RGB", (size, size), (i, 0, 0)).save(
+            tmp_path / f"{i}.png"
+        )
+    batches = list(_iter_folder(str(tmp_path), None, batch=8))
+    assert [b.shape for b in batches] == [(2, 32, 32, 3), (1, 48, 48, 3)]
+    batches64 = list(_iter_folder(str(tmp_path), 64, batch=8))
+    assert [b.shape for b in batches64] == [(3, 64, 64, 3)]
