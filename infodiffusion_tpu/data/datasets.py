@@ -130,7 +130,14 @@ class ImageFolderDataset:
     def get_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         nat = self._native_batcher()
         if nat is not None:
-            x = nat.decode(np.asarray(idx))
+            idx = np.asarray(idx)
+            x, failed = nat.decode_with_failures(idx)
+            # per-file PIL retry: the native decoder fails slots it
+            # cannot handle faithfully (CMYK JPEGs, truncated streams)
+            # — PIL converts the former and raises on the latter, so
+            # genuinely corrupt files still surface as errors
+            for pos in failed:
+                x[pos] = self._load_one(self.files[int(idx[pos])])
         else:
             x = np.stack([self._load_one(self.files[i]) for i in idx])
         x = x.astype(np.float32) / 255.0 * 2.0 - 1.0

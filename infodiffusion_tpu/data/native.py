@@ -37,13 +37,23 @@ def _build_lib() -> Optional[str]:
     so = os.path.join(out_dir, "libimage_loader.so")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
+    # compile to a per-process temp name and rename into place: rename
+    # is atomic, so a concurrent process never CDLLs (or mtime-passes)
+    # a partially written .so — it either rebuilds its own or loads a
+    # complete one
+    tmp = f"{so}.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-        "-o", so, "-ljpeg", "-lpng", "-pthread",
+        "-o", tmp, "-ljpeg", "-lpng", "-pthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so)
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     return so
 
@@ -74,7 +84,7 @@ def _get_lib():
         lib.idl_decode_batch.restype = ctypes.c_int
         lib.idl_decode_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
         ]
         lib.idl_write_png_batch.restype = ctypes.c_int
         lib.idl_write_png_batch.argtypes = [
@@ -108,18 +118,33 @@ class NativeImageBatcher:
             arr, len(files), size, int(center_crop), int(d2c), threads
         )
 
-    def decode(self, idx: np.ndarray) -> np.ndarray:
+    def decode_with_failures(
+        self, idx: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """([b, S, S, 3] uint8, positions of failed slots). Failed slots
+        are zero-filled; the caller decides whether to retry them (e.g.
+        through PIL, which handles color spaces libjpeg rejects) or
+        raise."""
         idx = np.ascontiguousarray(idx, dtype=np.int32)
         b = len(idx)
         out = np.empty((b, self.size, self.size, 3), np.uint8)
-        fails = self._lib.idl_decode_batch(
+        failed = np.zeros(b, np.uint8)
+        self._lib.idl_decode_batch(
             self._handle,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             b,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            failed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         )
-        if fails:
-            raise IOError(f"native loader: {fails}/{b} images failed to decode")
+        return out, np.flatnonzero(failed)
+
+    def decode(self, idx: np.ndarray) -> np.ndarray:
+        out, failed = self.decode_with_failures(idx)
+        if len(failed):
+            raise IOError(
+                f"native loader: {len(failed)}/{len(out)} images failed "
+                "to decode"
+            )
         return out
 
     def __del__(self):

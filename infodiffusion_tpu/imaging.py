@@ -13,13 +13,16 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def _to_uint8(img: np.ndarray, normalize: bool, value_range) -> np.ndarray:
+def _normalize01(img: np.ndarray, normalize: bool, value_range) -> np.ndarray:
     img = np.asarray(img, dtype=np.float32)
     if normalize:
         lo, hi = value_range if value_range else (img.min(), img.max())
         img = (img - lo) / max(hi - lo, 1e-12)
-    img = np.clip(img, 0.0, 1.0)
-    return (img * 255.0 + 0.5).astype(np.uint8)
+    return np.clip(img, 0.0, 1.0)
+
+
+def _to_uint8(img01: np.ndarray) -> np.ndarray:
+    return (img01 * 255.0 + 0.5).astype(np.uint8)
 
 
 def make_grid(
@@ -31,6 +34,8 @@ def make_grid(
     """[N, H, W, C] -> grid [H', W', C] (torchvision layout: nrow images
     per row, 2px padding)."""
     n, h, w, c = batch.shape
+    if n == 0:
+        raise ValueError("make_grid: empty batch")
     ncol = min(nrow, n)
     nrows = (n + ncol - 1) // ncol
     gh = nrows * (h + padding) + padding
@@ -57,8 +62,15 @@ def save_image(
 
     img = np.asarray(img)
     if img.ndim == 4:
-        img = make_grid(img, nrow=nrow)
-    u8 = _to_uint8(img, normalize, value_range)
+        # torchvision order: normalize the IMAGES first, then assemble —
+        # pad_value lands in OUTPUT space (black borders with the
+        # reference's normalize=True range=(-1,1) call), and min/max
+        # normalization never includes the padding
+        img = make_grid(_normalize01(img, normalize, value_range),
+                        nrow=nrow)
+        u8 = _to_uint8(img)
+    else:
+        u8 = _to_uint8(_normalize01(img, normalize, value_range))
     if u8.ndim == 3 and u8.shape[-1] == 1:
         u8 = u8[..., 0]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -59,6 +59,13 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
   jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.jpeg_color_space == JCS_CMYK ||
+      cinfo.jpeg_color_space == JCS_YCCK) {
+    // JCS_RGB conversion from CMYK is a fatal libjpeg error; fail the
+    // slot so the Python side retries it through PIL (which converts)
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
@@ -69,8 +76,12 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg reports truncated streams as WARNINGS (it inserts a fake
+  // EOI and fills with garbage) — error_exit never fires. Treat any
+  // corrupt-data warning as a failed decode like PIL does.
+  bool clean = cinfo.err->num_warnings == 0;
   jpeg_destroy_decompress(&cinfo);
-  return true;
+  return clean;
 }
 
 // ----------------------------------------------------------------- PNG
@@ -80,13 +91,23 @@ bool decode_png(const uint8_t* buf, size_t len, Image* out) {
   std::memset(&img, 0, sizeof(img));
   img.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&img, buf, len)) return false;
-  img.format = PNG_FORMAT_RGB;
+  // read RGBA and DROP the alpha channel, like PIL's convert('RGB') —
+  // asking libpng for PNG_FORMAT_RGB would composite RGBA pixels onto
+  // a background instead, diverging from the PIL fallback path
+  img.format = PNG_FORMAT_RGBA;
   out->w = img.width;
   out->h = img.height;
-  out->rgb.resize(PNG_IMAGE_SIZE(img));
-  if (!png_image_finish_read(&img, nullptr, out->rgb.data(), 0, nullptr)) {
+  std::vector<uint8_t> rgba(PNG_IMAGE_SIZE(img));
+  if (!png_image_finish_read(&img, nullptr, rgba.data(), 0, nullptr)) {
     png_image_free(&img);
     return false;
+  }
+  size_t n = size_t(out->w) * out->h;
+  out->rgb.resize(n * 3);
+  for (size_t i = 0; i < n; ++i) {
+    out->rgb[i * 3 + 0] = rgba[i * 4 + 0];
+    out->rgb[i * 3 + 1] = rgba[i * 4 + 1];
+    out->rgb[i * 3 + 2] = rgba[i * 4 + 2];
   }
   return true;
 }
@@ -209,20 +230,29 @@ void resize_bilinear(const Image& src, int dw, int dh, uint8_t* dst) {
   }
 }
 
-void crop(const Image& src, int x0, int y0, int w, int h, Image* out) {
-  out->w = w;
-  out->h = h;
-  out->rgb.assign(size_t(w) * h * 3, 0);
+// crop the (x0, y0, w, h) window into dst (w*h*3, zero-padded outside
+// the source bounds) — writing straight into the caller's buffer so the
+// center-crop hot path (CelebA, ~200k images/epoch) skips a copy
+void crop_into(const Image& src, int x0, int y0, int w, int h,
+               uint8_t* dst) {
+  std::memset(dst, 0, size_t(w) * h * 3);
   for (int y = 0; y < h; ++y) {
     int sy = y0 + y;
     if (sy < 0 || sy >= src.h) continue;
     int xs = x0 < 0 ? -x0 : 0;
     int xe = (x0 + w > src.w) ? src.w - x0 : w;
     if (xe <= xs) continue;
-    std::memcpy(out->rgb.data() + (size_t(y) * w + xs) * 3,
+    std::memcpy(dst + (size_t(y) * w + xs) * 3,
                 src.rgb.data() + (size_t(sy) * src.w + x0 + xs) * 3,
                 size_t(xe - xs) * 3);
   }
+}
+
+void crop(const Image& src, int x0, int y0, int w, int h, Image* out) {
+  out->w = w;
+  out->h = h;
+  out->rgb.resize(size_t(w) * h * 3);
+  crop_into(src, x0, y0, w, h, out->rgb.data());
 }
 
 struct Loader {
@@ -243,18 +273,18 @@ bool transform_one(const Loader& L, const std::string& path, uint8_t* out) {
     crop(img, 89 - 64, 121 - 64, 128, 128, &c);
     resize_bilinear(c, S, S, out);
   } else if (L.center_crop) {
-    float scale = float(S) / (img.w < img.h ? img.w : img.h);
-    int nw = int(std::lround(img.w * scale));
-    int nh = int(std::lround(img.h * scale));
+    // double + nearbyint (round-half-even) to match the PIL fallback's
+    // Python round() exactly at .5 scale boundaries (datasets.py:121)
+    double scale = double(S) / (img.w < img.h ? img.w : img.h);
+    int nw = int(std::nearbyint(img.w * scale));
+    int nh = int(std::nearbyint(img.h * scale));
     std::vector<uint8_t> tmp(size_t(nw) * nh * 3);
     resize_bilinear(img, nw, nh, tmp.data());
     Image r;
     r.w = nw;
     r.h = nh;
     r.rgb = std::move(tmp);
-    Image c;
-    crop(r, (nw - S) / 2, (nh - S) / 2, S, S, &c);
-    std::memcpy(out, c.rgb.data(), size_t(S) * S * 3);
+    crop_into(r, (nw - S) / 2, (nh - S) / 2, S, S, out);
   } else {
     resize_bilinear(img, S, S, out);
   }
@@ -280,10 +310,15 @@ void* idl_create(const char** paths, int n, int size, int center_crop,
 void idl_destroy(void* h) { delete static_cast<Loader*>(h); }
 
 // decode batch of dataset indices into out [b, size, size, 3] uint8;
-// returns number of failures (failed slots are zero-filled)
-int idl_decode_batch(void* h, const int* idx, int b, uint8_t* out) {
+// returns number of failures. Failed slots are zero-filled and marked
+// 1 in the caller's `failed` mask (length b, may be NULL) so the
+// Python side can retry exactly those files through PIL (which handles
+// color spaces libjpeg conversion rejects, e.g. CMYK).
+int idl_decode_batch(void* h, const int* idx, int b, uint8_t* out,
+                     uint8_t* failed) {
   auto* L = static_cast<Loader*>(h);
   const size_t stride = size_t(L->size) * L->size * 3;
+  if (failed) std::memset(failed, 0, size_t(b));
   std::atomic<int> next(0), fails(0);
   int nthreads = L->threads < b ? L->threads : b;
   if (nthreads < 1) nthreads = 1;
@@ -297,6 +332,7 @@ int idl_decode_batch(void* h, const int* idx, int b, uint8_t* out) {
         if (j < 0 || j >= int(L->paths.size()) ||
             !transform_one(*L, L->paths[j], dst)) {
           std::memset(dst, 0, stride);
+          if (failed) failed[i] = 1;
           fails.fetch_add(1);
         }
       }

@@ -284,6 +284,25 @@ def test_image_folder_center_crop(tmp_path):
     assert x.min() >= -1.0 and x.max() <= 1.0
 
 
+def test_save_image_normalizes_before_padding(tmp_path):
+    """torchvision order: images are normalized FIRST, then assembled
+    with pad_value in OUTPUT space — so the reference's save_image(...,
+    normalize=True, range=(-1,1)) grids have BLACK borders, not the
+    gray that post-grid normalization of 0.0-padding would produce."""
+    from PIL import Image
+
+    batch = np.full((2, 4, 4, 3), -1.0, np.float32)  # all-black images
+    p = str(tmp_path / "grid.png")
+    save_image(batch, p, nrow=2, normalize=True, value_range=(-1, 1))
+    arr = np.asarray(Image.open(p))
+    assert arr.max() == 0  # borders AND images black, nothing gray
+    # and an empty batch is a clear error, not ZeroDivisionError
+    import pytest
+
+    with pytest.raises(ValueError, match="empty batch"):
+        make_grid(np.zeros((0, 4, 4, 3), np.float32))
+
+
 def test_make_grid_and_save_image(tmp_path):
     batch = np.random.RandomState(0).uniform(-1, 1, (6, 8, 8, 1)).astype(np.float32)
     grid = make_grid(batch, nrow=4, padding=2)

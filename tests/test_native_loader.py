@@ -142,3 +142,77 @@ def test_native_corrupt_images_raise_not_crash(tmp_path):
     out = nat.decode(np.arange(2))
     assert out.shape == (2, 32, 32, 3)
     assert out.std() > 1.0
+
+
+def test_native_rgba_png_drops_alpha_like_pil(tmp_path):
+    """RGBA PNGs: the native decoder must DROP the alpha channel like
+    PIL's convert('RGB') — compositing onto a background would make the
+    two loader paths produce different training data."""
+    from PIL import Image
+
+    from infodiffusion_tpu.data.native import NativeImageBatcher
+
+    rng = np.random.RandomState(0)
+    rgba = rng.randint(0, 255, (64, 64, 4), dtype=np.uint8)
+    rgba[..., 3] = 128  # semi-transparent everywhere
+    p = tmp_path / "a.png"
+    Image.fromarray(rgba, "RGBA").save(p)
+    nat = NativeImageBatcher([str(p)], 64, center_crop=False, d2c=False)
+    got = nat.decode(np.arange(1))[0]
+    want = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_cmyk_jpeg_retried_through_pil(tmp_path):
+    """CMYK JPEGs fail libjpeg's RGB conversion; the dataset layer must
+    transparently retry them through PIL instead of aborting the run."""
+    from PIL import Image
+
+    from infodiffusion_tpu.data.datasets import ImageFolderDataset
+
+    rng = np.random.RandomState(1)
+    rgb = rng.randint(0, 255, (96, 96, 3), dtype=np.uint8)
+    p = tmp_path / "cmyk.jpg"
+    Image.fromarray(rgb).convert("CMYK").save(p, quality=95)
+    ds = ImageFolderDataset(files=[str(p)], size=64, center_crop=False)
+    x, _ = ds.get_batch(np.arange(1))
+    assert x.shape == (1, 64, 64, 3)
+    # real pixels, not a zero-filled failure slot
+    assert np.abs(x).mean() > 0.05
+
+
+def test_native_truncated_jpeg_detected(tmp_path):
+    """A truncated JPEG decodes 'successfully' with garbage fill unless
+    the decoder checks libjpeg's corrupt-data warnings — it must be
+    counted as a failed slot, matching PIL (which raises)."""
+    from infodiffusion_tpu.data.native import NativeImageBatcher
+
+    files = _make_images(tmp_path, n=1)
+    good = open(files[0], "rb").read()
+    trunc = tmp_path / "t.jpg"
+    trunc.write_bytes(good[: int(len(good) * 0.6)])
+    nat = NativeImageBatcher([str(trunc)], 64, center_crop=True, d2c=False)
+    _, failed = nat.decode_with_failures(np.arange(1))
+    assert list(failed) == [0]
+
+
+def test_native_center_crop_half_boundary_dims_match_pil(tmp_path):
+    """At exact .5 resize boundaries the native path must round like
+    Python's round() (half-even) so both loader paths produce identical
+    dimensions — 128x129 at size 64 hits scale 0.5 exactly."""
+    from PIL import Image
+
+    from infodiffusion_tpu.data.datasets import ImageFolderDataset
+
+    rng = np.random.RandomState(2)
+    p = tmp_path / "hb.png"
+    Image.fromarray(
+        rng.randint(0, 255, (129, 128, 3), dtype=np.uint8)
+    ).save(p)
+    nat_ds = ImageFolderDataset(files=[str(p)], size=64, center_crop=True)
+    x_nat, _ = nat_ds.get_batch(np.arange(1))
+    pil_ds = ImageFolderDataset(files=[str(p)], size=64, center_crop=True)
+    pil_ds._native_tried = True  # force PIL path
+    x_pil, _ = pil_ds.get_batch(np.arange(1))
+    diff = np.abs(x_nat - x_pil) * 127.5  # back to u8 scale
+    assert diff.mean() < 0.5 and diff.max() <= 2.0
