@@ -182,22 +182,28 @@ class _PieceConv3(nn.Module):
         if self.is_mutable_collection("quant") and not self.is_initializing():
             q8.observe_absmax(self, pieces)
         elif self.has_variable("quant", "act_absmax"):
-            # int8 tier: one weight scale per c_out (whole kernel), one
-            # act scale per PIECE; per-piece partials dequantized then
-            # summed in f32 (conv is linear over the channel concat).
+            # int8 tier: per-PIECE act scales folded into the kernel's
+            # input-channel slices (quant.py quantize_pieces_folded), so
+            # the per-piece conv partials are directly summable and
+            # dequantize ONCE. The running partial between piece convs
+            # crosses HBM in bf16 instead of raw s32 — half the spill
+            # bytes (134 -> 67 MB per level-0 upblock step at the
+            # flagship shape); the ~2^-9 relative rounding on the
+            # partial is far below the int8 noise floor itself.
             absmax = self.variable("quant", "act_absmax").value
-            kq, sw = q8.quantize_weight(kernel, (0, 1, 2))
-            out = None
+            xqs, kq, sw = q8.quantize_pieces_folded(pieces, absmax, kernel)
+            acc = None
             o = 0
-            for i, p in enumerate(pieces):
-                c = p.shape[-1]
-                pq, sx = q8.quantize_act(p, absmax[i])
+            for i, xq in enumerate(xqs):
+                c = pieces[i].shape[-1]
                 y = q8.int8_conv(
-                    pq, kq[:, :, o : o + c, :], (1, 1), ((1, 1), (1, 1))
-                ).astype(jnp.float32) * (sx * sw)
-                out = y if out is None else out + y
+                    xq, kq[:, :, o : o + c, :], (1, 1), ((1, 1), (1, 1))
+                ).astype(jnp.float32)
+                acc = y if acc is None else acc + y
+                if i < len(xqs) - 1:
+                    acc = acc.astype(jnp.bfloat16).astype(jnp.float32)
                 o += c
-            return (out + bias.astype(jnp.float32)).astype(self.dtype)
+            return (acc * sw + bias.astype(jnp.float32)).astype(self.dtype)
         (kernel, bias, *pieces) = nn.dtypes.promote_dtype(
             kernel, bias, *pieces, dtype=self.dtype
         )
