@@ -279,17 +279,18 @@ def main():
     # INFODIFF_TURBO=int8: W8A8 conv tier (ops/quant.py). Emits its own
     # metric name — the headline series the driver records stays bf16.
     turbo = os.environ.get("INFODIFF_TURBO", "")
-    if turbo not in ("", "int8"):
+    if turbo not in ("", "int8", "int8x"):
         raise SystemExit(
-            f"unknown INFODIFF_TURBO {turbo!r} (expected '' or 'int8'; "
-            "the quant tier is int8 — an unvalidated name here would "
-            "label the metric after a tier that does not exist)"
+            f"unknown INFODIFF_TURBO {turbo!r} (expected '', 'int8' or "
+            "'int8x'; an unvalidated name here would label the metric "
+            "after a tier that does not exist)"
         )
     if turbo:
         from infodiffusion_tpu.ops.quant import calibrate
 
         variables = calibrate(
-            model, variables, (size, size, 3), a_dim=256, T=1000
+            model, variables, (size, size, 3), a_dim=256, T=1000,
+            mode=turbo,
         )
     sched = make_schedule(1e-5, 1e-2, 1000)
 

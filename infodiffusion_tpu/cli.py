@@ -118,12 +118,18 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
                         "H*W token axis over a 'seq' mesh axis (ring "
                         "attention) when the token count is large enough "
                         "(INFODIFF_SP_MIN_TOKENS, default 1024)")
-    p.add_argument("--turbo", choices=["", "off", "int8"], default="",
+    p.add_argument("--turbo", choices=["", "off", "int8", "int8x"],
+                   default="",
                    help="inference turbo tier for the image samplers: "
                         "'int8' runs the UNet conv bodies W8A8 on the MXU "
                         "with scales calibrated at sampler construction "
                         "(ops/quant.py); schedule math, norms and the "
                         "head/tail convs stay on the normal policy. "
+                        "'int8x' additionally reads the residual stream "
+                        "through per-block s8 copies — measured SLOWER "
+                        "than int8 on v5e (s8 elementwise passes run at "
+                        "~half VPU bandwidth), kept as a documented "
+                        "negative result. "
                         "'' falls through to $INFODIFF_TURBO; 'off' "
                         "forces it off even when the env var is set")
     p.add_argument("--async_ckpt", action="store_true",

@@ -162,9 +162,10 @@ class Config:
             raise ValueError(
                 f"dataset must be one of {DATASETS}, got {self.dataset!r}"
             )
-        if self.turbo not in ("", "off", "int8"):
+        if self.turbo not in ("", "off", "int8", "int8x"):
             raise ValueError(
-                f"turbo must be '', 'off' or 'int8', got {self.turbo!r}"
+                "turbo must be '', 'off', 'int8' or 'int8x', "
+                f"got {self.turbo!r}"
             )
 
     def with_dataset_config(self) -> "Config":

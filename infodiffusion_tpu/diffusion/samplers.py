@@ -292,11 +292,14 @@ def _resolve_turbo(cfg, turbo):
     mode = turbo if turbo is not None else (
         getattr(cfg, "turbo", "") or turbo_mode()
     )
+    from infodiffusion_tpu.ops.quant import MODES
+
     if mode == "off":
         return ""
-    if mode not in ("", "int8"):
+    if mode not in ("",) + MODES:
         raise ValueError(
-            f"unknown turbo mode {mode!r} (expected '', 'off' or 'int8')"
+            f"unknown turbo mode {mode!r} (expected '', 'off' or "
+            f"one of {MODES})"
         )
     return mode
 
@@ -332,7 +335,7 @@ class DiffusionProcess:
             self.params = calibrate(
                 model, self.params, self.data_shape,
                 a_dim=cfg.a_dim if self.is_conditional else None,
-                T=cfg.diffusion_steps,
+                T=cfg.diffusion_steps, mode=self.turbo,
             )
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 
@@ -446,11 +449,11 @@ class TwoPhaseDiffusionProcess:
 
             self.params1 = calibrate(
                 model1, params1, self.data_shape, a_dim=cfg.a_dim,
-                T=cfg.diffusion_steps,
+                T=cfg.diffusion_steps, mode=self.turbo,
             )
             self.params2 = calibrate(
                 model2, params2, self.data_shape, a_dim=None,
-                T=cfg.diffusion_steps,
+                T=cfg.diffusion_steps, mode=self.turbo,
             )
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 

@@ -117,12 +117,14 @@ class ShortcutDense(nn.Module):
     """``nn.Dense`` for the ResBlock 1x1 shortcut projection. Param tree
     identical to ``nn.Dense``.
 
-    Deliberately NOT int8-quantized in turbo mode: the shortcut is
-    bandwidth-bound, and the W8A8 form was MEASURED SLOWER than bf16
-    here (int8 trace: 169 ms of f32 partial-product dots + ~60 ms of
-    raw-piece quantize passes vs 116 ms for the whole bf16 form — the
-    quantize pass plus f32 partials cost more bytes than the int8 reads
-    save).
+    In the plain 'int8' turbo tier the shortcut deliberately stays bf16:
+    it is bandwidth-bound, and a standalone W8A8 form was MEASURED
+    SLOWER than bf16 (int8 trace: 169 ms of f32 partial-product dots +
+    ~60 ms of raw-piece quantize passes vs 116 ms for the whole bf16
+    form). The 'int8x' tier removes exactly those two taxes: ``qx`` is
+    the block's SHARED s8 input view (no standalone quantize pass) and
+    the partials cross HBM in bf16 with folded scales (ops/quant.py
+    int8_shortcut) — the pieces then read at 1 byte/elem.
 
     ``residual``: when given, returns ``residual + x @ kernel + bias``.
     With INFODIFF_ENABLE_FUSED_SHORTCUT=1 this runs as ONE Pallas pass
@@ -133,12 +135,14 @@ class ShortcutDense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, residual=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, residual=None, qx=None) -> jnp.ndarray:
         kernel = self.param(
             "kernel", DEFAULT_KERNEL, (x.shape[-1], self.features),
             jnp.float32,
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        if qx is not None and not self.is_initializing():
+            return q8.int8_shortcut(qx, kernel, bias, self.dtype, residual)
         if not self.is_initializing():
             fused = _try_fused_shortcut(residual, [x], kernel, bias)
             if fused is not None:
@@ -226,7 +230,8 @@ class _PieceConv3(nn.Module):
 class _PieceDense(nn.Module):
     """Dense over ``concat(pieces, -1)`` as a sum of per-piece matmuls
     with row-sliced kernels; param tree identical to ``nn.Dense``.
-    Not int8-quantized in turbo mode (see :class:`ShortcutDense`).
+    bf16 in the plain 'int8' turbo tier; s8 reads from the block's
+    shared input view under 'int8x' (see :class:`ShortcutDense`).
 
     ``residual``: when given, returns ``residual + dense(pieces)``;
     with INFODIFF_ENABLE_FUSED_SHORTCUT=1 as ONE opt-in Pallas pass
@@ -236,12 +241,14 @@ class _PieceDense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pieces, residual=None):
+    def __call__(self, pieces, residual=None, qx=None):
         cin = sum(p.shape[-1] for p in pieces)
         kernel = self.param(
             "kernel", DEFAULT_KERNEL, (cin, self.features), jnp.float32
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        if qx is not None and not self.is_initializing():
+            return q8.int8_shortcut(qx, kernel, bias, self.dtype, residual)
         if not self.is_initializing():
             fused = _try_fused_shortcut(residual, pieces, kernel, bias)
             if fused is not None:
@@ -282,31 +289,70 @@ class _GNParams(nn.Module):
         return gn_op(x, _GROUPS, scale, bias)
 
 
+class _XQuant(nn.Module):
+    """int8x tier: one per-block s8 view of the raw block input, SHARED
+    by the norm1 chain and the 1x1 shortcut so the residual stream's
+    reads cost 1 byte/elem instead of 2 (the bf16 carry itself — the
+    residual ADD chain — stays bf16, so the quantization error is
+    bounded per block rather than compounding along the stream).
+
+    Calibration (ops/quant.py calibrate(mode='int8x')) observes the
+    input range here; at apply time the presence of the x_absmax
+    variable is what switches the block to the aggressive tier, keeping
+    the jit cache key honest. Returns ``(qx_list, scales)`` or ``None``
+    (plain int8 / turbo off)."""
+
+    @nn.compact
+    def __call__(self, pieces):
+        if (q8.calib_mode() == "int8x"
+                and self.is_mutable_collection("quant")
+                and not self.is_initializing()):
+            # calibration runs the float forward; only observe here
+            q8.observe_absmax(self, pieces, name="x_absmax")
+        elif self.has_variable("quant", "x_absmax"):
+            absmax = self.variable("quant", "x_absmax").value
+            return q8.quantize_x_pieces(pieces, absmax)
+        return None
+
+
 def _stage1(x, out_ch, dtype):
     """norm1 -> SiLU -> conv1, shared by every ResBlock variant; runs
     concat-free when ``x`` is a tuple of skip-concat pieces. Called from
     inside a compact ``__call__`` so submodules attach to the caller.
-    Returns (h, pieces_or_None, in_ch)."""
+    Returns (h, pieces_or_None, in_ch, xq) — ``xq`` is the int8x shared
+    s8 input view (None outside that tier), which norm1 reads here and
+    ``_residual_add`` reuses for the shortcut."""
     pieces, in_ch = _as_pieces(x)
-    h = _GNParams(name="norm1")(pieces if pieces is not None else x)
+    plist = pieces if pieces is not None else [x]
+    xq = _XQuant(name="xq")(plist)
+    if xq is not None:
+        qs, s = xq
+        deq = [q.astype(jnp.float32) * s[i] for i, q in enumerate(qs)]
+        norm_in = deq if pieces is not None else deq[0]
+    else:
+        norm_in = pieces if pieces is not None else x
+    h = _GNParams(name="norm1")(norm_in)
     if pieces is not None:
         h = _PieceConv3(out_ch, dtype, name="conv1")([nn.silu(p) for p in h])
     else:
         h = _conv3(out_ch, dtype, "conv1")(nn.silu(h))
-    return h, pieces, in_ch
+    return h, pieces, in_ch, xq
 
 
-def _residual_add(h, x, pieces, in_ch, out_ch, dtype):
+def _residual_add(h, x, pieces, in_ch, out_ch, dtype, xq=None):
     """The block epilogue ``h + shortcut(x)``: 1x1 projection on channel
-    change (as a sum of per-piece matmuls when concat-free; one opt-in
-    Pallas pass with INFODIFF_ENABLE_FUSED_SHORTCUT=1 —
-    shortcut_fused.py), identity otherwise."""
+    change (as a sum of per-piece matmuls when concat-free; from the
+    shared s8 input view in the int8x tier; one opt-in Pallas pass with
+    INFODIFF_ENABLE_FUSED_SHORTCUT=1 — shortcut_fused.py), identity
+    otherwise."""
     if in_ch != out_ch:
         if pieces is not None:
             return _PieceDense(out_ch, dtype, name="shortcut")(
-                pieces, residual=h
+                pieces, residual=h, qx=xq
             )
-        return ShortcutDense(out_ch, dtype, name="shortcut")(x, residual=h)
+        return ShortcutDense(out_ch, dtype, name="shortcut")(
+            x, residual=h, qx=xq
+        )
     if pieces is not None:
         return h + jnp.concatenate(pieces, axis=-1)
     return h + x
@@ -335,7 +381,7 @@ class ResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        h, pieces, in_ch = _stage1(x, self.out_ch, self.dtype)
+        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype)
 
         t = _film_proj(temb.shape[-1], self.out_ch, self.dtype, "temb_proj")(
             nn.silu(temb)
@@ -351,7 +397,8 @@ class ResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv3")(h)
 
-        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype)
+        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype,
+                          xq=xq)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -376,7 +423,7 @@ class AuxResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        h, pieces, in_ch = _stage1(x, self.out_ch, self.dtype)
+        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype)
 
         t = _film_proj(temb.shape[-1], self.out_ch, self.dtype, "temb_proj")(
             nn.silu(temb)
@@ -400,7 +447,8 @@ class AuxResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv3")(h)
 
-        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype)
+        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype,
+                          xq=xq)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h
@@ -419,14 +467,15 @@ class EncoderResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        h, pieces, in_ch = _stage1(x, self.out_ch, self.dtype)
+        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype)
 
         h = _GNParams(name="norm2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv3(self.out_ch, self.dtype, "conv2")(h)
 
-        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype)
+        h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype,
+                          xq=xq)
         if self.attn:
             h = AttnBlock(dtype=self.dtype, name="attn")(h)
         return h

@@ -46,10 +46,39 @@ from jax import lax
 
 _EPS = 1e-30
 
+#: valid turbo tiers. 'int8' = conv bodies W8A8, residual stream and
+#: shortcuts bf16 (near-pixel parity). 'int8x' = int8 PLUS the residual
+#: stream's *reads* go through a per-block s8 copy: norm1 and the 1x1
+#: shortcut projections consume the block input at 1 byte/elem instead
+#: of 2 (the bf16 carry itself — the add chain — stays bf16, so
+#: precision loss is bounded per block, not compounding).
+#:
+#: int8x MEASURED SLOWER than int8 on the flagship DDIM-100 sampler
+#: (94.0 vs 100.1 samples/s, v5e): XLA does emit the s8 x-copies for
+#: free in the producer conv epilogues, but s8-reading ELEMENTWISE
+#: passes run at roughly half the VPU bandwidth of bf16 ones (the
+#: dequant-GN-SiLU-requantize fusions measured 380-390 GB/s vs the
+#: bf16 forms' 600-1040), so halving the bytes does not halve the
+#: time, and extra s8->bf16 convert passes appear at the piece-conv
+#: boundaries. Kept as an opt-in documented negative result — the
+#: byte-arithmetic was right, the VPU int8 throughput assumption was
+#: not.
+MODES = ("int8", "int8x")
+
+_calib_mode = ""
+
+
+def calib_mode() -> str:
+    """The tier currently being CALIBRATED ('' outside calibration).
+    Blocks consult this at trace time to decide which observation sites
+    to create — at apply time behavior is keyed purely on which
+    variables exist in the 'quant' collection (jit-cache safe)."""
+    return _calib_mode
+
 
 def turbo_mode() -> str:
-    """'' (off) or 'int8' — the INFODIFF_TURBO env default used by the
-    samplers when no explicit ``turbo=`` argument is given."""
+    """'' (off) or a MODES entry — the INFODIFF_TURBO env default used
+    by the samplers when no explicit ``turbo=`` argument is given."""
     return os.environ.get("INFODIFF_TURBO", "")
 
 
@@ -124,7 +153,55 @@ def int8_conv(xq, kq, strides, padding):
     )
 
 
-def observe_absmax(module, x_or_pieces) -> None:
+def int8_dot(xq, kq):
+    """int8 x int8 -> int32 matmul on the MXU: contracts the last dim of
+    ``xq`` with the first of ``kq`` (the 1x1-projection form)."""
+    return lax.dot_general(
+        xq, kq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def quantize_x_pieces(pieces, absmax):
+    """int8x tier: symmetric per-piece s8 view of a block's raw input.
+    Returns ``(qx_list, s)`` with ``pieces[i] ~= qx_list[i] * s[i]``."""
+    s = jnp.maximum(absmax.astype(jnp.float32), _EPS) / 127.0
+    qs = [
+        jnp.clip(
+            jnp.round(p.astype(jnp.float32) / s[i]), -127.0, 127.0
+        ).astype(jnp.int8)
+        for i, p in enumerate(pieces)
+    ]
+    return qs, s
+
+
+def int8_shortcut(qx, kernel, bias, dtype, residual=None):
+    """int8x tier 1x1 shortcut: ``residual + concat(x_pieces) @ kernel +
+    bias`` computed from the block's shared s8 input view ``qx =
+    (qx_list, s)`` — the same scale-folding algebra as
+    :func:`quantize_pieces_folded` (per-piece act scales folded into the
+    kernel's row slices before joint per-output-channel weight
+    quantization), with the running partial crossing HBM in bf16."""
+    qs, s = qx
+    keff, o = [], 0
+    for i, q in enumerate(qs):
+        c = q.shape[-1]
+        keff.append(kernel[o : o + c, :].astype(jnp.float32) * s[i])
+        o += c
+    kq, sw = quantize_weight(jnp.concatenate(keff, axis=0), (0,))
+    acc, o = None, 0
+    for i, q in enumerate(qs):
+        c = q.shape[-1]
+        y = int8_dot(q, kq[o : o + c, :]).astype(jnp.float32)
+        acc = y if acc is None else acc + y
+        if i < len(qs) - 1:
+            acc = acc.astype(jnp.bfloat16).astype(jnp.float32)
+        o += c
+    out = (acc * sw + bias.astype(jnp.float32)).astype(dtype)
+    return out if residual is None else residual + out
+
+
+def observe_absmax(module, x_or_pieces, name="act_absmax") -> None:
     """Calibration hook: running max(|x|) per conv site, stored in the
     'quant' collection (shape () for one tensor, (n_pieces,) for a
     skip-concat piece list)."""
@@ -136,18 +213,22 @@ def observe_absmax(module, x_or_pieces) -> None:
     else:
         cur = jnp.max(jnp.abs(x_or_pieces.astype(jnp.float32)))
         init = lambda: jnp.zeros((), jnp.float32)
-    v = module.variable("quant", "act_absmax", init)
+    v = module.variable("quant", name, init)
     v.value = jnp.maximum(v.value, cur)
 
 
 def calibrate(model, variables, data_shape, a_dim=None, T=1000,
-              batch=32, seed=0):
+              batch=32, seed=0, mode="int8"):
     """One jitted calibration forward: x ~ N(0,1) with per-sample
     timesteps spanning [0, T) (DDIM trajectory states are ~unit-scale at
     every t; GroupNorm renormalizes each block, so internal ranges are
     insensitive to the exact input marginal). Returns ``variables`` with
     the populated 'quant' collection merged in — passing THAT to apply is
-    what switches the conv tier to int8."""
+    what switches the conv tier to int8. ``mode='int8x'`` additionally
+    observes each block's raw-input range (x_absmax sites), which
+    switches the blocks to the aggressive s8-residual-read tier."""
+    if mode not in MODES:
+        raise ValueError(f"unknown turbo mode {mode!r} (expected {MODES})")
 
     @jax.jit
     def run(variables, key):
@@ -160,5 +241,11 @@ def calibrate(model, variables, data_shape, a_dim=None, T=1000,
         _, q = model.apply(variables, *args, mutable=["quant"])
         return q["quant"]
 
-    q = run(variables, jr.PRNGKey(seed))
+    global _calib_mode
+    _calib_mode = mode
+    try:
+        # the mode flag is read at TRACE time (inside this call)
+        q = run(variables, jr.PRNGKey(seed))
+    finally:
+        _calib_mode = ""
     return {**variables, "quant": q}

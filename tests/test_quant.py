@@ -216,6 +216,111 @@ def test_diffusion_process_turbo_sampling():
     assert _rel_l2(out, ref) < 0.05
 
 
+def test_int8x_collection_sites():
+    """int8x calibration observes per-block raw-input ranges (x_absmax
+    under .../xq) IN ADDITION to the conv act sites; plain int8 must not
+    create them (the variable's presence is what switches the block)."""
+    model = _tiny_unet()
+    v = jax.jit(
+        lambda: model.init(
+            jr.PRNGKey(0),
+            jnp.zeros((1, 16, 16, 1)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 4)),
+        )
+    )()
+    v8 = q8.calibrate(model, v, (16, 16, 1), a_dim=4, T=10, batch=8)
+    vx = q8.calibrate(model, v, (16, 16, 1), a_dim=4, T=10, batch=8,
+                      mode="int8x")
+    flat8 = jax.tree_util.tree_flatten_with_path(v8["quant"])[0]
+    flatx = jax.tree_util.tree_flatten_with_path(vx["quant"])[0]
+    names8 = {p[-1].key for p, _ in flat8}
+    namesx = {p[-1].key for p, _ in flatx}
+    assert "x_absmax" not in names8
+    assert "x_absmax" in namesx and "act_absmax" in namesx
+    assert all(float(jnp.min(x)) > 0 for _, x in flatx)
+    # calib mode flag is restored after calibration
+    assert q8.calib_mode() == ""
+
+
+def test_unet_int8x_forward_close():
+    """The aggressive tier adds one quantization on the residual-stream
+    READS (norm1 + shortcut inputs); the bf16 carry is untouched, so the
+    error stays in the int8 regime (looser than plain int8)."""
+    model = _tiny_unet()
+    x = jr.normal(jr.PRNGKey(7), (2, 16, 16, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    a = jr.normal(jr.PRNGKey(8), (2, 4))
+    v = jax.jit(lambda: model.init(jr.PRNGKey(0), x, t, a))()
+    vx = q8.calibrate(model, v, (16, 16, 1), a_dim=4, T=10, batch=8,
+                      mode="int8x")
+    ref = model.apply(v, x, t, a)
+    out = model.apply(vx, x, t, a)
+    assert _rel_l2(out, ref) < 0.25
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_int8_shortcut_matches_f32():
+    """ops.quant.int8_shortcut (the folded-scale s8 shortcut) tracks the
+    f32 projection within the quantization noise floor, mismatched piece
+    ranges included."""
+    from infodiffusion_tpu.ops.quant import (
+        int8_shortcut, quantize_x_pieces,
+    )
+
+    p1 = jr.normal(jr.PRNGKey(0), (2, 8, 8, 16))
+    p2 = 4.0 * jr.normal(jr.PRNGKey(1), (2, 8, 8, 8))
+    kernel = jr.normal(jr.PRNGKey(2), (24, 32)) * 0.2
+    bias = jr.normal(jr.PRNGKey(3), (32,)) * 0.1
+    res = jr.normal(jr.PRNGKey(4), (2, 8, 8, 32))
+    absmax = jnp.stack(
+        [jnp.max(jnp.abs(p1)), jnp.max(jnp.abs(p2))]
+    )
+    qx = quantize_x_pieces([p1, p2], absmax)
+    out = int8_shortcut(qx, kernel, bias, jnp.float32, residual=res)
+    ref = res + jnp.concatenate([p1, p2], -1) @ kernel + bias
+    assert _rel_l2(out, ref) < 0.02
+
+
+def test_diffusion_process_int8x_sampling():
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import DiffusionProcess
+    from infodiffusion_tpu.models import Diff
+
+    cfg = Config(model="vanilla", dataset="mnist", diffusion_steps=6,
+                 deterministic=True, a_dim=4, input_size=16,
+                 turbo="int8x")
+    model = Diff(T=6, shape=(1, 16, 16), unets_channels=32,
+                 ch_mult=(1, 2), attn=(1,))
+    x = jnp.zeros((1, 16, 16, 1))
+    v = jax.jit(
+        lambda: model.init(
+            {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+             "dropout": jr.PRNGKey(2)},
+            x, jnp.zeros((1,), jnp.int32),
+        )
+    )()
+    p = DiffusionProcess(cfg, model, v, shape=(1, 16, 16))
+    assert p.turbo == "int8x"
+    out = p.sampling(jr.PRNGKey(0), sampling_number=4, num_steps=3)
+    assert out.shape == (4, 16, 16, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    p0 = DiffusionProcess(cfg.replace(turbo=""), model, v,
+                          shape=(1, 16, 16))
+    ref = p0.sampling(jr.PRNGKey(0), sampling_number=4, num_steps=3)
+    assert _rel_l2(out, ref) < 0.1
+
+
+def test_cli_turbo_int8x_flag():
+    from infodiffusion_tpu.cli import parse_args
+
+    cfg = parse_args(
+        "--model vanilla --mode eval --prior regular --dataset mnist "
+        "--a_dim 32 --turbo int8x".split()
+    )
+    assert cfg.turbo == "int8x"
+
+
 def test_turbo_rejects_unknown_mode():
     from infodiffusion_tpu.config import Config
 

@@ -45,7 +45,8 @@ def main():
         from infodiffusion_tpu.ops.quant import calibrate
 
         variables = calibrate(model, variables, (64, 64, 3), a_dim=256,
-                              T=1000)
+                              T=1000,
+                              mode=os.environ["INFODIFF_TURBO"])
     sched = make_schedule(1e-5, 1e-2, 1000)
 
     @jax.jit
