@@ -521,10 +521,15 @@ class LatentDiffusionProcess:
     """Sampler over the a_dim latent space with the trained LatentUNet
     (reference: sampling.py:207-292).
 
-    INFODIFF_ENABLE_FUSED_LATENT=1 swaps the per-step LatentUNet forward
-    for one fused whole-forward Pallas kernel (ops/pallas/latent_mlp.py).
-    XLA is the measured-faster default — see use_fused_latent() for the
-    numbers and the closure-constant measurement trap."""
+    On TPU the whole trajectory runs as ONE Pallas kernel by default
+    (ops/pallas/latent_traj.py: the T-step loop, weight streaming,
+    per-step FiLM rows and noise all live inside a single pallas_call —
+    measured FASTER than the XLA scan, the numbers live in that module
+    and STATUS.md). INFODIFF_DISABLE_FUSED_LATENT_TRAJ=1 (or the
+    INFODIFF_DISABLE_PALLAS umbrella) reverts to the XLA scan.
+    INFODIFF_ENABLE_FUSED_LATENT=1 selects the older per-forward fused
+    kernel instead (latent_mlp.py; ~10% behind XLA, kept as a measured
+    alternative)."""
 
     def __init__(self, cfg, model, params, mesh=None):
         self.cfg = cfg
@@ -535,16 +540,25 @@ class LatentDiffusionProcess:
 
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
         self._fused = False
-        if mesh is None:  # fused kernel is single-device; mesh path stays XLA
+        self._traj = False
+        if mesh is None:  # fused kernels are single-device; mesh path = XLA
             from infodiffusion_tpu.ops.pallas.latent_mlp import (
                 fused_latent_supported,
                 pack_latent_unet_params,
                 use_fused_latent,
             )
+            from infodiffusion_tpu.ops.pallas.latent_traj import (
+                fused_traj_shapes_ok,
+                use_fused_latent_traj,
+            )
 
             backbone = params.get("params", {}).get("backbone")
+            want_traj = use_fused_latent_traj() and fused_traj_shapes_ok(
+                cfg.a_dim
+            )
+            want_fwd = use_fused_latent()
             if (
-                use_fused_latent()
+                (want_traj or want_fwd)
                 and backbone is not None
                 and fused_latent_supported(backbone, cfg.a_dim)
             ):
@@ -555,10 +569,17 @@ class LatentDiffusionProcess:
                 self.params = pack_latent_unet_params(
                     backbone, cfg.a_dim, dtype=model.dtype
                 )
-                self._fused = True
-                print("[latent sampler] fused Pallas kernel: on "
-                      "(unset INFODIFF_ENABLE_FUSED_LATENT for the XLA "
-                      "path)", file=sys.stderr)
+                self._traj = want_traj
+                self._fused = not want_traj
+                which = (
+                    "whole-trajectory" if want_traj else "per-forward"
+                )
+                off = (
+                    "INFODIFF_DISABLE_FUSED_LATENT_TRAJ=1"
+                    if want_traj else "unset INFODIFF_ENABLE_FUSED_LATENT"
+                )
+                print(f"[latent sampler] fused Pallas kernel: on "
+                      f"({which}; {off} for the XLA path)", file=sys.stderr)
         self._jit_sample = jax.jit(self._sample_impl)
         self._jit_reverse = jax.jit(self._reverse_impl)
         self._jit_sample_draw = jax.jit(
@@ -567,19 +588,37 @@ class LatentDiffusionProcess:
         self._jit_sample_given = jax.jit(self._sample_given_impl)
 
     def _eps_fn(self, params):
-        if self._fused:
+        if self._fused or self._traj:
             from infodiffusion_tpu.ops.pallas.latent_mlp import latent_eps_fn
 
             return latent_eps_fn(params)
         return lambda x, t, a: self.model.apply(params, x, t)
 
     def _sample_impl(self, params, xT, key):
+        if self._traj:
+            from infodiffusion_tpu.ops.pallas.latent_traj import (
+                latent_trajectory_pallas,
+            )
+
+            return latent_trajectory_pallas(
+                params, self.sched, xT, key,
+                deterministic=self.cfg.deterministic,
+            )
         return sample_loop(
             self._eps_fn(params), self.sched, xT, key, None,
             deterministic=self.cfg.deterministic,
         )
 
     def _reverse_impl(self, params, x0):
+        if self._traj:
+            from infodiffusion_tpu.ops.pallas.latent_traj import (
+                latent_trajectory_pallas,
+            )
+
+            return latent_trajectory_pallas(
+                params, self.sched, x0, None,
+                deterministic=True, reverse=True,
+            )
         return reverse_sample_loop(self._eps_fn(params), self.sched, x0, None)
 
     def _sample_draw_impl(self, params, key, n):

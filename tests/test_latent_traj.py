@@ -1,0 +1,191 @@
+"""Whole-trajectory fused latent sampler kernel (ops/pallas/latent_traj.py).
+
+The oracle is the framework's own scan-based samplers (themselves pinned
+against the torch reference in test_reference_parity): the kernel
+pre-draws noise with exactly sample_loop's key chain, so trajectories
+must agree to float tolerance — not just in distribution — for all
+three update families (stochastic DDIM eta=0.01, DDPM, reverse
+encoding). Kernel runs in interpret mode on CPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from infodiffusion_tpu.diffusion.samplers import (
+    reverse_sample_loop,
+    sample_loop,
+)
+from infodiffusion_tpu.diffusion.schedule import (
+    ddim_reverse_step,
+    ddim_step,
+    ddpm_step,
+    make_schedule,
+)
+from infodiffusion_tpu.models import Diff
+from infodiffusion_tpu.ops.pallas import latent_traj
+from infodiffusion_tpu.ops.pallas.latent_mlp import pack_latent_unet_params
+
+D, T, B = 64, 24, 16
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Diff(T=T, shape=(1, D, D), is_latent=True)
+    rngs = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+            "dropout": jr.PRNGKey(2)}
+    v = jax.jit(
+        lambda: model.init(rngs, jnp.zeros((B, D)), jnp.zeros((B,), jnp.int32))
+    )()
+    packed = pack_latent_unet_params(v["params"]["backbone"], D)
+    sched = make_schedule(1e-5, 1e-2, T)
+    xT = jr.normal(jr.PRNGKey(3), (B, D))
+    eps_fn = lambda x, t, a: model.apply(v, x, t)
+    return model, v, packed, sched, xT, eps_fn
+
+
+def test_sampling_coefficients_match_step_algebra():
+    """The affine factoring (cx, ce, cn) must reproduce ddim_step /
+    ddpm_step exactly (up to f32 reassociation) at every timestep,
+    including the idx==0 specials."""
+    sched = make_schedule(1e-5, 1e-2, 50)
+    idxs = jnp.arange(49, -1, -1)
+    x = jr.normal(jr.PRNGKey(0), (4, 8))
+    eps = jr.normal(jr.PRNGKey(1), (4, 8))
+    noise = jr.normal(jr.PRNGKey(2), (4, 8))
+    for det, stepper in ((True, ddim_step), (False, ddpm_step)):
+        cx, ce, cn = latent_traj.sampling_coefficients(sched, idxs, det)
+        for i in (0, 7, 25, 48, 49):  # includes idx==0 (i == 49)
+            idx = jnp.full((4,), int(idxs[i]), jnp.int32)
+            n = noise
+            if not det:
+                n = jnp.where(int(idxs[i]) == 0, jnp.zeros_like(noise), noise)
+            ref = stepper(sched, x, idx, eps, n)
+            got = cx[i] * x + ce[i] * eps + cn[i] * noise
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+            )
+
+
+def test_reverse_coefficients_match_step_algebra():
+    sched = make_schedule(1e-5, 1e-2, 50)
+    idxs = jnp.arange(1, 49)
+    cx, ce, _cn = latent_traj.reverse_coefficients(sched, idxs)
+    x = jr.normal(jr.PRNGKey(0), (4, 8))
+    eps = jr.normal(jr.PRNGKey(1), (4, 8))
+    for i in (0, 20, 47):
+        idx = jnp.full((4,), int(idxs[i]), jnp.int32)
+        ref = ddim_reverse_step(sched, x, idx, eps)
+        got = cx[i] * x + ce[i] * eps
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+        )
+
+
+@pytest.mark.parametrize("deterministic", [True, False])
+def test_trajectory_matches_scan_sampler(setup, deterministic):
+    """Same key => same trajectory as sample_loop (the kernel replicates
+    its split chain), both DDIM-eta and DDPM."""
+    _model, _v, packed, sched, xT, eps_fn = setup
+    key = jr.PRNGKey(4)
+    ref = sample_loop(eps_fn, sched, xT, key, None,
+                      deterministic=deterministic)
+    out = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT, key, deterministic=deterministic,
+        interpret=True, block_b=8,
+    )
+    assert _rel(out, ref) < 1e-5
+
+
+def test_trajectory_reverse_matches_scan(setup):
+    _model, _v, packed, sched, xT, eps_fn = setup
+    ref = reverse_sample_loop(eps_fn, sched, xT, None)
+    out = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT, jr.PRNGKey(0), deterministic=True,
+        reverse=True, interpret=True, block_b=8,
+    )
+    assert _rel(out, ref) < 1e-5
+
+
+def test_trajectory_partial_batch_blocks(setup):
+    """B not a multiple of block_b: trailing partial block rows must
+    still be exact (every row is independent)."""
+    _model, _v, packed, sched, xT, eps_fn = setup
+    key = jr.PRNGKey(9)
+    ref = sample_loop(eps_fn, sched, xT, key, None, deterministic=True)
+    out = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT, key, deterministic=True,
+        interpret=True, block_b=12,  # 16 rows -> blocks of 12 + 4
+    )
+    assert _rel(out, ref) < 1e-5
+
+
+def test_noise_injection_parity(setup):
+    """Injected noises match sample_loop's noises= contract."""
+    _model, _v, packed, sched, xT, eps_fn = setup
+    noises = jr.normal(jr.PRNGKey(7), (T, B, D))
+    ref = sample_loop(eps_fn, sched, xT, jr.PRNGKey(0), None,
+                      deterministic=True, noises=noises)
+    out = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT, jr.PRNGKey(0), deterministic=True,
+        noises=noises, interpret=True, block_b=8,
+    )
+    assert _rel(out, ref) < 1e-5
+
+
+def test_gating_off_on_cpu():
+    """Default gating requires a real TPU backend; the CPU suite must
+    never route through the uninterpreted kernel."""
+    assert latent_traj.use_fused_latent_traj() is False
+
+
+def test_shape_gate_rejects_unaligned_a_dim():
+    """Sub-128 lane widths failed Mosaic compilation on hardware (the
+    a_dim=32 mnist CLI config) — the gate must route them to XLA."""
+    assert latent_traj.fused_traj_shapes_ok(256)
+    assert latent_traj.fused_traj_shapes_ok(128)
+    assert not latent_traj.fused_traj_shapes_ok(64)
+    assert not latent_traj.fused_traj_shapes_ok(32)
+
+
+def test_process_uses_trajectory_kernel(setup, monkeypatch):
+    """LatentDiffusionProcess routes sampling/reverse through the
+    trajectory kernel when gated on, and matches the XLA process."""
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import LatentDiffusionProcess
+
+    model, v, _packed, _sched, xT, _eps = setup
+    monkeypatch.setattr(latent_traj, "use_fused_latent_traj", lambda: True)
+    # the lane-alignment gate (a_dim % 128) is a REAL-hardware Mosaic
+    # constraint; interpret mode has no such limit
+    monkeypatch.setattr(latent_traj, "fused_traj_shapes_ok", lambda d: True)
+    orig = latent_traj.latent_trajectory_pallas
+    monkeypatch.setattr(
+        latent_traj, "latent_trajectory_pallas",
+        functools.partial(orig, interpret=True, block_b=8),
+    )
+    cfg = Config(model="diff", dataset="celeba", a_dim=D, is_latent=True,
+                 deterministic=True, diffusion_steps=T)
+    p = LatentDiffusionProcess(cfg, model, v)
+    assert p._traj
+    p0 = LatentDiffusionProcess.__new__(LatentDiffusionProcess)
+    monkeypatch.setattr(latent_traj, "use_fused_latent_traj", lambda: False)
+    p0.__init__(cfg, model, v)
+    assert not p0._traj
+    key = jr.PRNGKey(11)
+    out = p.sampling(key, sampling_number=B)
+    ref = p0.sampling(key, sampling_number=B)
+    assert _rel(out, ref) < 1e-5
+    outr = p.reverse_sampling(xT)
+    refr = p0.reverse_sampling(xT)
+    assert _rel(outr, refr) < 1e-5
