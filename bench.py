@@ -94,9 +94,13 @@ def train_main():
 
 def latent_main():
     """Secondary metric: latent-DDIM sampling throughput (T=1000 full
-    grid, flagship a_dim=256) through LatentDiffusionProcess. XLA path
-    by default; INFODIFF_ENABLE_FUSED_LATENT=1 swaps in the fused
-    whole-forward kernel (ops/pallas/latent_mlp.py — ~10% behind XLA)."""
+    grid, flagship a_dim=256) through LatentDiffusionProcess. On TPU
+    the whole-trajectory fused Pallas kernel is the default
+    (ops/pallas/latent_traj.py — measured +16% over the XLA scan);
+    INFODIFF_DISABLE_FUSED_LATENT_TRAJ=1 reverts to the XLA scan, and
+    INFODIFF_ENABLE_FUSED_LATENT=1 selects the older per-forward fused
+    kernel (~10% behind XLA; it outranks the trajectory default so its
+    documented measurement stays reproducible)."""
     from infodiffusion_tpu.config import Config
     from infodiffusion_tpu.diffusion.samplers import LatentDiffusionProcess
     from infodiffusion_tpu.models import Diff
@@ -278,12 +282,14 @@ def main():
     variables = jax.jit(lambda: model.init(rngs, x, t0, a0))()
     # INFODIFF_TURBO=int8: W8A8 conv tier (ops/quant.py). Emits its own
     # metric name — the headline series the driver records stays bf16.
+    from infodiffusion_tpu.ops.quant import MODES as _TURBO_MODES
+
     turbo = os.environ.get("INFODIFF_TURBO", "")
-    if turbo not in ("", "int8", "int8x"):
+    if turbo not in ("",) + _TURBO_MODES:
         raise SystemExit(
-            f"unknown INFODIFF_TURBO {turbo!r} (expected '', 'int8' or "
-            "'int8x'; an unvalidated name here would label the metric "
-            "after a tier that does not exist)"
+            f"unknown INFODIFF_TURBO {turbo!r} (expected '' or one of "
+            f"{_TURBO_MODES}; an unvalidated name here would label the "
+            "metric after a tier that does not exist)"
         )
     if turbo:
         from infodiffusion_tpu.ops.quant import calibrate

@@ -118,7 +118,9 @@ def build_parser(require_mode: bool = True) -> argparse.ArgumentParser:
                         "H*W token axis over a 'seq' mesh axis (ring "
                         "attention) when the token count is large enough "
                         "(INFODIFF_SP_MIN_TOKENS, default 1024)")
-    p.add_argument("--turbo", choices=["", "off", "int8", "int8x"],
+    from infodiffusion_tpu.ops.quant import MODES as _TURBO_MODES
+
+    p.add_argument("--turbo", choices=["", "off", *_TURBO_MODES],
                    default="",
                    help="inference turbo tier for the image samplers: "
                         "'int8' runs the UNet conv bodies W8A8 on the MXU "

@@ -162,9 +162,11 @@ class Config:
             raise ValueError(
                 f"dataset must be one of {DATASETS}, got {self.dataset!r}"
             )
-        if self.turbo not in ("", "off", "int8", "int8x"):
+        from infodiffusion_tpu.ops.quant import MODES as _TURBO_MODES
+
+        if self.turbo not in ("", "off") + _TURBO_MODES:
             raise ValueError(
-                "turbo must be '', 'off', 'int8' or 'int8x', "
+                f"turbo must be '', 'off' or one of {_TURBO_MODES}, "
                 f"got {self.turbo!r}"
             )
 

@@ -553,10 +553,15 @@ class LatentDiffusionProcess:
             )
 
             backbone = params.get("params", {}).get("backbone")
-            want_traj = use_fused_latent_traj() and fused_traj_shapes_ok(
-                cfg.a_dim
-            )
             want_fwd = use_fused_latent()
+            # an EXPLICIT per-forward opt-in outranks the default-on
+            # trajectory kernel (so its documented measurement stays
+            # reproducible without extra disables)
+            want_traj = (
+                use_fused_latent_traj()
+                and fused_traj_shapes_ok(cfg.a_dim)
+                and not want_fwd
+            )
             if (
                 (want_traj or want_fwd)
                 and backbone is not None

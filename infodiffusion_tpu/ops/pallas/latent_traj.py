@@ -289,6 +289,15 @@ def latent_trajectory_pallas(
     bt = max(bt, 8)
     grid = ((B + bt - 1) // bt,)
 
+    # BlockSpec operands (xT, out) are padded/masked by pallas on partial
+    # blocks, but the HAND-ROLLED noise DMA is not bounds-checked on
+    # hardware: pad the noise rows up to the block grid so the trailing
+    # block's n_hbm.at[step, pl.ds(b0, bt)] stays in bounds (B < 8 and
+    # B % bt != 0 both land here).
+    Bp = grid[0] * bt
+    if Bp != B:
+        noises = jnp.pad(noises, ((0, 0), (0, Bp - B), (0, 0)))
+
     def rows(shape):
         return pl.BlockSpec(shape, lambda b: (b,) + (0,) * (len(shape) - 1),
                             memory_space=pltpu.VMEM)
@@ -323,4 +332,5 @@ def latent_trajectory_pallas(
         interpret=interpret,
     )(xT.astype(jnp.float32), coef, packed["W"], c_all, noises,
       packed["B"], packed["G"], packed["Be"])
-    return out
+    # match the scan path's dtype contract (carry keeps xT's dtype)
+    return out.astype(xT.dtype)

@@ -129,15 +129,10 @@ def quantize_pieces_folded(pieces, absmax, kernel):
     at its bandwidth floor; the folded scales then let the partial sum
     spill at HALF the bytes (bf16 instead of raw s32 — see
     _PieceConv3)."""
-    s = jnp.maximum(absmax.astype(jnp.float32), _EPS) / 127.0
-    xqs, keff, o = [], [], 0
+    xqs, s = quantize_x_pieces(pieces, absmax)
+    keff, o = [], 0
     for i, p in enumerate(pieces):
         c = p.shape[-1]
-        xqs.append(
-            jnp.clip(
-                jnp.round(p.astype(jnp.float32) / s[i]), -127.0, 127.0
-            ).astype(jnp.int8)
-        )
         keff.append(kernel[:, :, o : o + c, :].astype(jnp.float32) * s[i])
         o += c
     kq, sw = quantize_weight(jnp.concatenate(keff, axis=2), (0, 1, 2))

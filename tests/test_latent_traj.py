@@ -143,6 +143,51 @@ def test_noise_injection_parity(setup):
     assert _rel(out, ref) < 1e-5
 
 
+def test_tiny_batch_pads_noise_dma(setup):
+    """B < 8: the batch tile clamps to 8 and the hand-rolled noise DMA
+    must stay in bounds (noises are padded up to the block grid —
+    hardware DMAs are not masked like BlockSpec operands)."""
+    _model, _v, packed, sched, xT, eps_fn = setup
+    key = jr.PRNGKey(5)
+    small = xT[:4]
+    ref = sample_loop(eps_fn, sched, small, key, None, deterministic=True)
+    out = latent_traj.latent_trajectory_pallas(
+        packed, sched, small, key, deterministic=True,
+        interpret=True, block_b=8,
+    )
+    assert out.shape == (4, D)
+    assert _rel(out, ref) < 1e-5
+
+
+def test_output_dtype_follows_xT(setup):
+    """The kernel path keeps the scan path's dtype contract (the carry
+    keeps xT's dtype)."""
+    _model, _v, packed, sched, xT, _eps = setup
+    out = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT.astype(jnp.bfloat16), jr.PRNGKey(0),
+        deterministic=True, interpret=True, block_b=8,
+    )
+    assert out.dtype == jnp.bfloat16
+
+
+def test_explicit_per_forward_opt_in_outranks_traj(setup, monkeypatch):
+    """INFODIFF_ENABLE_FUSED_LATENT=1 must still select the per-forward
+    kernel (its documented measurement stays reproducible) even when the
+    trajectory kernel would be default-on."""
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import LatentDiffusionProcess
+    from infodiffusion_tpu.ops.pallas import latent_mlp
+
+    model, v, _packed, _sched, _xT, _eps = setup
+    monkeypatch.setattr(latent_traj, "use_fused_latent_traj", lambda: True)
+    monkeypatch.setattr(latent_traj, "fused_traj_shapes_ok", lambda d: True)
+    monkeypatch.setattr(latent_mlp, "use_fused_latent", lambda: True)
+    cfg = Config(model="diff", dataset="celeba", a_dim=D, is_latent=True,
+                 deterministic=True, diffusion_steps=T)
+    p = LatentDiffusionProcess(cfg, model, v)
+    assert p._fused and not p._traj
+
+
 def test_gating_off_on_cpu():
     """Default gating requires a real TPU backend; the CPU suite must
     never route through the uninterpreted kernel."""
