@@ -59,12 +59,17 @@ _EPS = 1e-5
 
 
 def fused_traj_shapes_ok(a_dim: int) -> bool:
-    """Mosaic lane alignment: ``a_dim`` is the lane dimension of the
+    """Mosaic lane alignment. ``a_dim`` is the lane dimension of the
     trajectory state, the per-step noise DMA slices and the layer-9
-    output slice — sub-128 lane widths failed to compile (observed at
-    the a_dim=32 mnist CLI config). The flagship a_dim=256 qualifies;
-    smaller configs fall back to the XLA scan."""
-    return a_dim % 128 == 0
+    output slice; sub-128 lane widths fail to compile on hardware, so
+    latent_trajectory_pallas ZERO-PADS those lanes up to a 128 multiple
+    (the padded lanes carry exact zeros end to end — pack_latent_unet_params
+    zero-fills the unused weight rows, so they contribute nothing).
+    What cannot be padded away is the HIDDEN width h = 4*a_dim (the
+    LayerNorm/FiLM/SiLU rows run at h lanes), so the gate requires
+    h % 128 == 0, i.e. a_dim % 32 == 0 — which covers every reference
+    config (a_dim 32 mnist/fmnist scripts, 256 flagship; run.py:61)."""
+    return a_dim % 32 == 0
 
 
 def use_fused_latent_traj() -> bool:
@@ -241,6 +246,13 @@ def latent_trajectory_pallas(
     they are pre-drawn with exactly sample_loop's key chain."""
     B, d = xT.shape
     L, win, h = packed["W"].shape
+    # Mosaic rejects sub-128 lane widths: pad the state/noise/eps lane
+    # dimension d up to a 128 multiple. The padded weight rows are exact
+    # zeros (appended below; layer 0's rows d:win are already zero from
+    # pack_latent_unet_params), padded noise lanes are zero, so the
+    # padded state lanes stay exactly zero through every step and the
+    # real lanes are untouched (fused_traj_shapes_ok has the contract).
+    dp = -(-d // 128) * 128
     if idxs is None:
         idxs = (
             jnp.arange(1, sched.T - 1)
@@ -283,6 +295,15 @@ def latent_trajectory_pallas(
             _, noises = lax.scan(gen, key, None, length=S)
     noises = noises.astype(jnp.float32)
 
+    W = packed["W"]
+    xT_in = xT.astype(jnp.float32)
+    if dp != d:
+        xT_in = jnp.pad(xT_in, ((0, 0), (0, dp - d)))
+        noises = jnp.pad(noises, ((0, 0), (0, 0), (0, dp - d)))
+        # weight rows win..win+dp-d pair with the padded x lanes of the
+        # concat([h, x]) input in layers >= 1; zeros keep them inert
+        W = jnp.pad(W, ((0, 0), (0, dp - d), (0, 0)))
+
     # f32 weights double the wbuf footprint — halve the batch tile
     bt = min(block_b if packed["W"].dtype != jnp.float32 else block_b // 2,
              B)
@@ -307,10 +328,10 @@ def latent_trajectory_pallas(
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, S=S, L=L, d=d, h=h, bt=bt),
+        functools.partial(_kernel, S=S, L=L, d=dp, h=h, bt=bt),
         grid=grid,
         in_specs=[
-            rows((bt, d)),                      # xT block
+            rows((bt, dp)),                     # xT block (lane-padded)
             pl.BlockSpec(                       # [S, 3] f32 scalars
                 coef.shape, lambda b: (0, 0), memory_space=pltpu.SMEM
             ),
@@ -319,18 +340,20 @@ def latent_trajectory_pallas(
             pl.BlockSpec(memory_space=pltpu.HBM),  # noises (DMAed per step)
             full(packed["B"]), full(packed["G"]), full(packed["Be"]),
         ],
-        out_specs=rows((bt, d)),
-        out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
+        out_specs=rows((bt, dp)),
+        out_shape=jax.ShapeDtypeStruct((B, dp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win, h), packed["W"].dtype),
+            pltpu.VMEM((2, W.shape[1], h), W.dtype),
             pltpu.VMEM((2, Lp, h), jnp.float32),
-            pltpu.VMEM((2, bt, d), jnp.float32),
+            pltpu.VMEM((2, bt, dp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xT.astype(jnp.float32), coef, packed["W"], c_all, noises,
+    )(xT_in, coef, W, c_all, noises,
       packed["B"], packed["G"], packed["Be"])
+    if dp != d:
+        out = out[:, :d]
     # match the scan path's dtype contract (carry keeps xT's dtype)
     return out.astype(xT.dtype)

@@ -195,12 +195,46 @@ def test_gating_off_on_cpu():
 
 
 def test_shape_gate_rejects_unaligned_a_dim():
-    """Sub-128 lane widths failed Mosaic compilation on hardware (the
-    a_dim=32 mnist CLI config) — the gate must route them to XLA."""
+    """The state lanes are zero-padded to 128 inside the kernel, so the
+    gate only requires the HIDDEN width 4*a_dim to be lane-aligned
+    (a_dim % 32 == 0) — which admits every reference config, including
+    the a_dim=32 mnist/fmnist scripts that used to fall back to XLA."""
     assert latent_traj.fused_traj_shapes_ok(256)
     assert latent_traj.fused_traj_shapes_ok(128)
-    assert not latent_traj.fused_traj_shapes_ok(64)
-    assert not latent_traj.fused_traj_shapes_ok(32)
+    assert latent_traj.fused_traj_shapes_ok(64)
+    assert latent_traj.fused_traj_shapes_ok(32)
+    assert not latent_traj.fused_traj_shapes_ok(48)  # hidden 192 lanes
+    assert not latent_traj.fused_traj_shapes_ok(20)
+
+
+@pytest.mark.parametrize("deterministic", [True, False])
+def test_lane_padded_a_dim_matches_scan(deterministic):
+    """a_dim=32 (the reference mnist config): the state/noise/eps lanes
+    are zero-padded to 128 inside latent_trajectory_pallas; trajectories
+    must still match sample_loop exactly, and the padding must never
+    leak into the real lanes."""
+    d2 = 32
+    model = Diff(T=T, shape=(1, d2, d2), is_latent=True)
+    rngs = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+            "dropout": jr.PRNGKey(2)}
+    v = jax.jit(
+        lambda: model.init(
+            rngs, jnp.zeros((B, d2)), jnp.zeros((B,), jnp.int32)
+        )
+    )()
+    packed = pack_latent_unet_params(v["params"]["backbone"], d2)
+    sched = make_schedule(1e-5, 1e-2, T)
+    xT = jr.normal(jr.PRNGKey(3), (B, d2))
+    eps_fn = lambda x, t, a: model.apply(v, x, t)
+    key = jr.PRNGKey(4)
+    ref = sample_loop(eps_fn, sched, xT, key, None,
+                      deterministic=deterministic)
+    out = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT, key, deterministic=deterministic,
+        interpret=True, block_b=8,
+    )
+    assert out.shape == (B, d2)
+    assert _rel(out, ref) < 1e-5
 
 
 def test_process_uses_trajectory_kernel(setup, monkeypatch):
