@@ -27,6 +27,14 @@ reproduce the FLOP accounting with tools/flops_report.py. The estimate
 is fixed across rounds so the trend is comparable; the >=5x north-star
 (BASELINE.json) therefore means >=150 samples/s.
 
+The dual-tier turbo record additionally carries ``vs_a100_int8`` — the
+turbo number scaled by A100_INT8_EST, a PRECISION-MATCHED denominator
+(what a TensorRT-class int8 engine for this UNet would do on one A100;
+derivation in BASELINE.md). ``vs_baseline`` stays scaled by the fixed
+TF32-eager estimate so the cross-round trend is comparable; the matched
+ratio is there so the quantized tier is never mistaken for progress
+against a full-precision baseline.
+
 Env knobs: INFODIFF_BENCH_BATCH (default 128), INFODIFF_BENCH_STEPS (100),
 INFODIFF_BENCH_REPS (3), INFODIFF_BENCH_BF16 (default 1),
 INFODIFF_BENCH_MODE selects secondary metrics (not the headline line the
@@ -34,8 +42,16 @@ driver records): train (train imgs/sec/chip), latent (latent-DDIM
 latents/sec), encode (Encoder imgs/sec — the save_latent workhorse),
 fid (InceptionV3 FID-feature imgs/sec — the eval_fid scoring pass).
 INFODIFF_BENCH_SIZE applies to the headline, train and encode modes
-(latent/fid are resolution-independent); non-64px headline runs emit a
-size-suffixed metric name and no vs_baseline.
+(latent/fid are resolution-independent). NOTE the JSON line's SHAPE is
+size-gated: the dual-tier default (and its ``bf16_parity`` sub-object)
+exists only at the 64px flagship; any other INFODIFF_BENCH_SIZE runs a
+SINGLE bf16 tier and emits a size-suffixed metric name with
+``vs_baseline: null`` (the A100 estimate is defined at 64px only).
+
+The line's schema is FROZEN (round 2 renamed the default headline from
+``ddim100_samples_per_sec`` to ``ddim100_samples_per_sec_int8turbo``
+when the dual-tier default landed — BASELINE.md records the rename);
+tests/test_scripts.py guards the record builders below against drift.
 """
 
 import json
@@ -51,6 +67,58 @@ from infodiffusion_tpu.cache import enable_compilation_cache
 enable_compilation_cache()
 
 A100_DDIM100_EST = 30.0  # samples/s, documented estimate (see module doc)
+
+#: precision-MATCHED denominator for the int8 turbo tier: a TensorRT-class
+#: int8 engine for this UNet on one A100 (int8 peak 624 TOP/s, ~30%
+#: achievable at these shapes => ~187 TF/s / 1.49 TFLOP-per-sample ~= 125
+#: samples/s; full derivation in BASELINE.md "A100 int8 denominator").
+#: Used only for the turbo record's vs_a100_int8 field — vs_baseline stays
+#: scaled by the fixed TF32-eager estimate for cross-round continuity.
+A100_INT8_EST = 125.0
+
+
+def vs_base(sps, size):
+    """vs_baseline ratio; defined at the 64px flagship config only."""
+    return round(sps / A100_DDIM100_EST, 3) if size == 64 else None
+
+
+def dual_tier_record(turbo_sps, bf16_sps):
+    """The FROZEN default-headline schema (64px, INFODIFF_TURBO unset):
+    int8 turbo as the value, bf16 parity as a sub-object, plus the
+    precision-matched vs_a100_int8 ratio (schema-guarded in
+    tests/test_scripts.py — extend, don't rename)."""
+    return {
+        "metric": "ddim100_samples_per_sec_int8turbo",
+        "value": round(turbo_sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": vs_base(turbo_sps, 64),
+        "vs_a100_int8": round(turbo_sps / A100_INT8_EST, 3),
+        "bf16_parity": {
+            "value": round(bf16_sps, 3),
+            "vs_baseline": vs_base(bf16_sps, 64),
+        },
+    }
+
+
+def single_tier_record(sps, turbo, size):
+    """Pinned-tier / non-64px record (INFODIFF_TURBO set or
+    INFODIFF_BENCH_SIZE != 64): one tier, tier/size-suffixed metric."""
+    metric = (
+        "ddim100_samples_per_sec"
+        if size == 64
+        else f"ddim100_samples_per_sec_{size}px"
+    )
+    if turbo:
+        metric += f"_{turbo}turbo"
+    rec = {
+        "metric": metric,
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": vs_base(sps, size),
+    }
+    if turbo == "int8" and size == 64:
+        rec["vs_a100_int8"] = round(sps / A100_INT8_EST, 3)
+    return rec
 
 
 def train_main():
@@ -344,9 +412,6 @@ def main():
             times.append(time.perf_counter() - t_start)
         return batch / min(times)
 
-    def vs_base(sps):
-        return round(sps / A100_DDIM100_EST, 3) if size == 64 else None
-
     if turbo_env is None and size == 64:
         # default headline: both tiers, one line — turbo (the framework's
         # fastest honest inference configuration; near-pixel parity,
@@ -354,20 +419,7 @@ def main():
         # rides along so the trend stays comparable round over round
         bf16_sps = measure("")
         turbo_sps = measure("int8")
-        print(
-            json.dumps(
-                {
-                    "metric": "ddim100_samples_per_sec_int8turbo",
-                    "value": round(turbo_sps, 3),
-                    "unit": "samples/s",
-                    "vs_baseline": vs_base(turbo_sps),
-                    "bf16_parity": {
-                        "value": round(bf16_sps, 3),
-                        "vs_baseline": vs_base(bf16_sps),
-                    },
-                }
-            )
-        )
+        print(json.dumps(dual_tier_record(turbo_sps, bf16_sps)))
         return
 
     turbo = turbo_env or ""
@@ -375,23 +427,7 @@ def main():
     # non-64px runs get their own metric name and no vs_baseline: the
     # headline series (and the A100 estimate it is scaled against) is
     # defined at the 64px flagship config only
-    metric = (
-        "ddim100_samples_per_sec"
-        if size == 64
-        else f"ddim100_samples_per_sec_{size}px"
-    )
-    if turbo:
-        metric += f"_{turbo}turbo"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(sps, 3),
-                "unit": "samples/s",
-                "vs_baseline": vs_base(sps),
-            }
-        )
-    )
+    print(json.dumps(single_tier_record(sps, turbo, size)))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,58 @@ def test_all_script_invocations_parse():
             assert ns.dataset, src
 
 
+def test_bench_headline_schema_frozen():
+    """The driver/judge key on bench.py's JSON line; its schema is FROZEN
+    (VERDICT r2 item 8). Round 1->2 renamed the default-headline metric
+    once (ddim100_samples_per_sec -> _int8turbo when the dual-tier
+    default landed; BASELINE.md records it) — this test pins the contract
+    so it cannot drift silently again. Fields may be ADDED, never renamed
+    or removed."""
+    import importlib.util
+    import json
+
+    import jax
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    # bench.py repoints the compile cache at import — restore the
+    # suite's CPU cache dir afterwards (conftest set it)
+    cache_dir = jax.config.jax_compilation_cache_dir
+    try:
+        spec.loader.exec_module(bench)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    rec = bench.dual_tier_record(100.05, 79.79)
+    assert rec["metric"] == "ddim100_samples_per_sec_int8turbo"
+    assert rec["unit"] == "samples/s"
+    assert rec["value"] == 100.05
+    assert rec["vs_baseline"] == round(100.05 / bench.A100_DDIM100_EST, 3)
+    # the precision-MATCHED ratio (ADVICE r2: int8 vs an int8 A100
+    # estimate, not the TF32-eager one) rides along in the same line
+    assert rec["vs_a100_int8"] == round(100.05 / bench.A100_INT8_EST, 3)
+    assert rec["bf16_parity"]["value"] == 79.79
+    assert rec["bf16_parity"]["vs_baseline"] == round(
+        79.79 / bench.A100_DDIM100_EST, 3
+    )
+    json.dumps(rec)  # must stay one serializable line
+
+    # pinned-tier forms keep the round-1 names
+    assert bench.single_tier_record(79.79, "", 64)["metric"] == (
+        "ddim100_samples_per_sec"
+    )
+    assert bench.single_tier_record(100.0, "int8", 64)["metric"] == (
+        "ddim100_samples_per_sec_int8turbo"
+    )
+    # size-gated single-tier fallback (ADVICE r2): non-64px = bf16 only,
+    # size-suffixed name, vs_baseline null
+    r128 = bench.single_tier_record(8.68, "", 128)
+    assert r128["metric"] == "ddim100_samples_per_sec_128px"
+    assert r128["vs_baseline"] is None
+
+
 def test_example_scripts_parse_help():
     """examples/*.py must import cleanly and expose the standard CLI
     flag surface (argparse --help exits 0)."""
