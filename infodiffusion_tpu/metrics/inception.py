@@ -196,6 +196,72 @@ def load_params(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
 
 
 # ---------------------------------------------------------------------------
+# drop-in weights contract (offline verification — real-weights day is
+# provably turn-key: tools/verify_inception_weights.py validates a
+# candidate file against this schema before anyone trusts an FID number)
+# ---------------------------------------------------------------------------
+
+#: the canonical pytorch-fid checkpoint this extractor is built for
+#: (distributed from the pytorch-fid GitHub release "fid_weights";
+#: clean-fid and the reference's calc_fid.py score through the same
+#: TF-Inception port — /root/reference/calc_fid.py:6-14).
+CANONICAL_WEIGHTS_FILENAME = "pt_inception-2015-12-05-6726825d.pth"
+
+#: torch.hub filename convention: the trailing hex group is the first 8
+#: hex digits of the file's SHA-256. The full digest is not recorded
+#: anywhere offline-accessible, so the prefix is the strongest offline
+#: identity check available; a candidate whose digest does not start
+#: with this is NOT the canonical release file (it may still be
+#: schema-valid, e.g. a re-saved copy — the verifier reports both).
+CANONICAL_SHA256_PREFIX = "6726825d"
+
+
+def expected_state_dict_schema() -> Dict[str, Tuple[int, ...]]:
+    """Every tensor the loader consumes, name -> exact shape.
+
+    Derived from :func:`conv_specs`: per BasicConv2d, a bias-free OIHW
+    conv weight plus the four eval-mode BatchNorm vectors. The canonical
+    file also carries ``fc.weight``/``fc.bias`` (the 1008-way TF logits
+    head) and per-BN ``num_batches_tracked`` scalars; those are ignored
+    by :func:`fold_state_dict` and deliberately NOT required here."""
+    schema: Dict[str, Tuple[int, ...]] = {}
+    for name, cin, cout, (kh, kw), _s, _p in conv_specs():
+        schema[f"{name}.conv.weight"] = (cout, cin, kh, kw)
+        for part in ("weight", "bias", "running_mean", "running_var"):
+            schema[f"{name}.bn.{part}"] = (cout,)
+    return schema
+
+#: known-in-canonical-file extras the verifier should not flag as alien
+CANONICAL_EXTRA_KEYS = ("fc.weight", "fc.bias")
+
+
+def verify_state_dict_schema(sd) -> Tuple[bool, List[str]]:
+    """Validate a mapping of name -> array-like against the schema.
+
+    Returns ``(ok, problems)``: ok means every required tensor exists
+    with the exact expected shape. Unknown keys (beyond the canonical
+    fc head and BN bookkeeping scalars) are reported as notes but do
+    not fail verification — the loader ignores them."""
+    problems: List[str] = []
+    schema = expected_state_dict_schema()
+    for key, want in schema.items():
+        if key not in sd:
+            problems.append(f"missing tensor: {key} (want shape {want})")
+            continue
+        got = tuple(np.asarray(sd[key]).shape)
+        if got != want:
+            problems.append(f"shape mismatch: {key} has {got}, want {want}")
+    ok = not problems
+    for key in sd:
+        if key in schema or key in CANONICAL_EXTRA_KEYS:
+            continue
+        if key.endswith(".bn.num_batches_tracked"):
+            continue
+        problems.append(f"note: unrecognized key ignored by loader: {key}")
+    return ok, problems
+
+
+# ---------------------------------------------------------------------------
 # forward (NHWC, f32)
 # ---------------------------------------------------------------------------
 

@@ -318,3 +318,65 @@ def test_frechet_distance_retries_with_eps_offset(monkeypatch):
     d = fidmod.frechet_distance(mu, sigma, mu, sigma)
     assert len(calls) == 2
     assert np.isfinite(d) and d == pytest.approx(0.0, abs=1e-4)
+
+
+def test_verify_inception_weights_tool(tmp_path):
+    """The drop-in contract (VERDICT r2 item 6): the offline verifier
+    accepts a schema-exact fixture checkpoint (identity warning only —
+    the fixture is not the canonical bytes) and pinpoints schema damage
+    (missing tensor, wrong shape) by name."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import verify_inception_weights as viw
+
+    ckpt = tmp_path / "pt_inception-candidate.pth"
+    sd = make_state_dict(seed=4)
+    torch.save(sd, ckpt)
+    v = viw.verify(str(ckpt))
+    assert v["schema_ok"], v["problems"]
+    assert v["forward_ok"] is True
+    assert v["usable"]
+    assert not v["canonical_identity"]  # fixture != release bytes
+    assert any("sha256" in p for p in v["problems"])
+    assert v["sha256"] and len(v["sha256"]) == 64
+
+    # missing tensor
+    broken = dict(sd)
+    del broken["Mixed_7c.branch_pool.bn.running_var"]
+    torch.save(broken, tmp_path / "missing.pth")
+    v = viw.verify(str(tmp_path / "missing.pth"))
+    assert not v["usable"] and not v["schema_ok"]
+    assert any(
+        "missing tensor: Mixed_7c.branch_pool.bn.running_var" in p
+        for p in v["problems"]
+    )
+
+    # wrong shape
+    broken = dict(sd)
+    broken["Conv2d_1a_3x3.conv.weight"] = torch.zeros(32, 3, 5, 5)
+    torch.save(broken, tmp_path / "shape.pth")
+    v = viw.verify(str(tmp_path / "shape.pth"))
+    assert not v["schema_ok"]
+    assert any(
+        "shape mismatch: Conv2d_1a_3x3.conv.weight" in p
+        for p in v["problems"]
+    )
+
+    # extras the canonical file carries are tolerated, alien keys noted
+    extra = dict(sd)
+    extra["fc.weight"] = torch.zeros(1008, 2048)
+    extra["fc.bias"] = torch.zeros(1008)
+    extra["Conv2d_1a_3x3.bn.num_batches_tracked"] = torch.tensor(0)
+    extra["totally_new.thing"] = torch.zeros(1)
+    torch.save(extra, tmp_path / "extra.pth")
+    v = viw.verify(str(tmp_path / "extra.pth"))
+    assert v["schema_ok"] and v["usable"]
+    assert any("totally_new.thing" in p for p in v["problems"])
+    assert not any("fc.weight" in p for p in v["problems"])
+
+    # nonexistent path
+    v = viw.verify(str(tmp_path / "nope.pth"))
+    assert not v["usable"]
