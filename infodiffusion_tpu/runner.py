@@ -148,6 +148,27 @@ def _configure_sp(cfg: Config):
                 "data-sharded batches. Drop the flag (or lower the "
                 "threshold) unless you mean to force ring attention."
             )
+        else:
+            # engages, but is it profitable? Each ring hop must have
+            # enough chunk compute to hide its ppermute transfer; on
+            # v5e that needs ~2k tokens per device (bf16 peak / ICI
+            # bandwidth — the arithmetic is in docs/PARALLELISM.md).
+            profit_tokens = int(
+                os.environ.get("INFODIFF_SP_PROFIT_TOKENS", "2048")
+            )
+            per_device = max_tokens // cfg.sp
+            if per_device < profit_tokens:
+                warnings.warn(
+                    f"--sp {cfg.sp} engages but leaves only {per_device} "
+                    f"tokens per device (largest grid {max_tokens}); "
+                    f"below ~{profit_tokens} tokens/device "
+                    "(INFODIFF_SP_PROFIT_TOKENS) the ring's ppermute "
+                    "hops cannot be hidden by chunk compute and SP runs "
+                    "latency-bound — on top of the data-parallel width "
+                    "it already takes (docs/PARALLELISM.md has the "
+                    "cost model). Prefer -dp unless attention memory "
+                    "forces the split."
+                )
     else:
         configure_sp(None)
 

@@ -138,3 +138,21 @@ def test_configure_sp_warns_when_threshold_unreachable():
             _configure_sp(cfg)
     finally:
         configure_sp(None)
+
+
+def test_configure_sp_warns_when_latency_bound():
+    """--sp that ENGAGES but leaves too few tokens per device runs
+    latency-bound (ring hops can't hide under chunk compute below ~2k
+    tokens/device — docs/PARALLELISM.md); the runner must say so.
+    128px at attn level 2 -> 1024 tokens >= the engage threshold, but
+    1024/4 = 256 tokens/device << 2048."""
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.runner import _configure_sp
+
+    cfg = Config(model="diff", mode="eval", prior="regular", a_dim=8,
+                 dataset="celeba", mmd_weight=0.1, sp=4, input_size=128)
+    try:
+        with pytest.warns(UserWarning, match="latency-bound"):
+            _configure_sp(cfg)
+    finally:
+        configure_sp(None)
