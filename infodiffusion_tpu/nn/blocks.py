@@ -16,7 +16,7 @@ Structure parity notes:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +25,46 @@ from flax import linen as nn
 from infodiffusion_tpu.nn.initializers import DEFAULT_KERNEL, zeros
 from infodiffusion_tpu.ops import adagn
 from infodiffusion_tpu.ops.norm import group_norm as gn_op
+from infodiffusion_tpu.ops.norm import group_norm_affine
 from infodiffusion_tpu.ops.norm import group_norm_pieces as gn_pieces_op
 from infodiffusion_tpu.ops import quant as q8
 
 _GROUPS = 32
+
+
+class _AffineChain(NamedTuple):
+    """The GN/FiLM/SiLU chain handed to a conv UN-materialized, for the
+    fused quantize-conv Pallas kernel (ops/pallas/qconv.py): the conv
+    input is ``silu(concat(pieces) * A + B)`` with f32 rows A, B of
+    shape [batch, C_total] (ops/norm.py group_norm_affine). Produced by
+    :class:`_GNParams` only when the int8 turbo tier is active and the
+    fused kernel will consume it; every conv accepting one must either
+    run the kernel or :func:`_materialize_chain` it."""
+
+    pieces: Tuple[jnp.ndarray, ...]
+    A: jnp.ndarray
+    B: jnp.ndarray
+
+
+def _materialize_chain(chain: _AffineChain, dtype):
+    """Defensive fallback: compute the chain in XLA (matching the normal
+    path's dtype flow — affine in f32, cast to module dtype, silu) and
+    return post-silu pieces."""
+    out, o = [], 0
+    for p in chain.pieces:
+        c = p.shape[-1]
+        h = p.astype(jnp.float32) * chain.A[:, None, None, o : o + c] + (
+            chain.B[:, None, None, o : o + c]
+        )
+        out.append(nn.silu(h.astype(dtype)))
+        o += c
+    return out
+
+
+def _qconv_interpret() -> bool:
+    # tests force the kernel off-TPU via INFODIFF_FORCE_FUSED_QCONV=1;
+    # there it must run in interpret mode
+    return jax.default_backend() != "tpu"
 
 
 class Conv3(nn.Module):
@@ -58,12 +94,30 @@ class Conv3(nn.Module):
     repeat: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x) -> jnp.ndarray:
+        chain = x if isinstance(x, _AffineChain) else None
+        cin = (
+            sum(p.shape[-1] for p in chain.pieces)
+            if chain is not None
+            else x.shape[-1]
+        )
         kernel = self.param(
             "kernel", DEFAULT_KERNEL, (3, 3, cin, self.features), jnp.float32
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        if chain is not None:
+            if (self.quantize and self.strides == 1 and self.repeat == 1
+                    and self.has_variable("quant", "act_absmax")
+                    and not self.is_mutable_collection("quant")):
+                from infodiffusion_tpu.ops.pallas.qconv import qconv_fused
+
+                absmax = self.variable("quant", "act_absmax").value
+                return qconv_fused(
+                    list(chain.pieces), chain.A, chain.B,
+                    absmax.reshape(-1), kernel, bias, self.dtype,
+                    interpret=_qconv_interpret(),
+                )
+            (x,) = _materialize_chain(chain, self.dtype)
         s = (self.strides, self.strides)
         pad = ((1, 1), (1, 1))
         rep = (
@@ -178,11 +232,26 @@ class _PieceConv3(nn.Module):
 
     @nn.compact
     def __call__(self, pieces):
+        chain = pieces if isinstance(pieces, _AffineChain) else None
+        if chain is not None:
+            pieces = list(chain.pieces)
         cin = sum(p.shape[-1] for p in pieces)
         kernel = self.param(
             "kernel", DEFAULT_KERNEL, (3, 3, cin, self.features), jnp.float32
         )
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        if chain is not None:
+            if (self.has_variable("quant", "act_absmax")
+                    and not self.is_mutable_collection("quant")):
+                from infodiffusion_tpu.ops.pallas.qconv import qconv_fused
+
+                absmax = self.variable("quant", "act_absmax").value
+                return qconv_fused(
+                    pieces, chain.A, chain.B, absmax.reshape(-1),
+                    kernel, bias, self.dtype,
+                    interpret=_qconv_interpret(),
+                )
+            pieces = _materialize_chain(chain, self.dtype)
         if self.is_mutable_collection("quant") and not self.is_initializing():
             q8.observe_absmax(self, pieces)
         elif self.has_variable("quant", "act_absmax"):
@@ -271,17 +340,47 @@ class _GNParams(nn.Module):
     """Bare GroupNorm scale/bias params; the math lives in ops.norm so the
     FiLM-fused variant can reuse the same parameters. Given a tuple of
     pieces (norm1 under a skip-concat) it returns normalized PIECES
-    (ops.norm.group_norm_pieces) so the concat never materializes."""
+    (ops.norm.group_norm_pieces) so the concat never materializes.
+
+    ``fused_out_ch`` marks this norm as feeding a quantized ResBlock conv
+    (the blocks pass their out_ch). Under int8 turbo calibration the site
+    records a 'quant'/'fused_qconv' marker; at apply time, when that
+    marker is present and the fused quantize-conv kernel is active
+    (ops/pallas/qconv.py use_fused_qconv), the call returns an
+    :class:`_AffineChain` instead of normalized activations — only the
+    per-(batch, group) stats run in XLA, and the GN-apply/FiLM/SiLU/
+    quantize chain moves into the conv kernel's registers, erasing the
+    turbo tier's standalone quantize passes (24.4% of the round-2 trace,
+    BASELINE.md item 5)."""
+
+    fused_out_ch: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, films=()):
-        C = (
-            sum(p.shape[-1] for p in x)
-            if isinstance(x, (tuple, list))
-            else x.shape[-1]
-        )
+    def __call__(self, x, films=(), deterministic: bool = True):
+        plist = list(x) if isinstance(x, (tuple, list)) else [x]
+        C = sum(p.shape[-1] for p in plist)
         scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
         bias = self.param("bias", zeros, (C,), jnp.float32)
+        if self.fused_out_ch is not None and not self.is_initializing():
+            from infodiffusion_tpu.ops.pallas.qconv import (
+                fused_qconv_supported,
+                use_fused_qconv,
+            )
+
+            shapes = [p.shape for p in plist]
+            if (q8.calib_mode() == "int8"
+                    and self.is_mutable_collection("quant")):
+                if fused_qconv_supported(shapes, self.fused_out_ch):
+                    self.variable(
+                        "quant", "fused_qconv",
+                        lambda: jnp.ones((), jnp.float32),
+                    )
+            elif (self.has_variable("quant", "fused_qconv")
+                  and deterministic
+                  and use_fused_qconv()
+                  and fused_qconv_supported(shapes, self.fused_out_ch)):
+                A, Brow = group_norm_affine(x, _GROUPS, scale, bias, films)
+                return _AffineChain(tuple(plist), A, Brow)
         if isinstance(x, (tuple, list)) and not films:
             return gn_pieces_op(x, _GROUPS, scale, bias)
         if films:
@@ -315,13 +414,15 @@ class _XQuant(nn.Module):
         return None
 
 
-def _stage1(x, out_ch, dtype):
+def _stage1(x, out_ch, dtype, deterministic=True):
     """norm1 -> SiLU -> conv1, shared by every ResBlock variant; runs
     concat-free when ``x`` is a tuple of skip-concat pieces. Called from
     inside a compact ``__call__`` so submodules attach to the caller.
     Returns (h, pieces_or_None, in_ch, xq) — ``xq`` is the int8x shared
     s8 input view (None outside that tier), which norm1 reads here and
-    ``_residual_add`` reuses for the shortcut."""
+    ``_residual_add`` reuses for the shortcut. Under int8 turbo the norm
+    may hand the conv an :class:`_AffineChain` (fused quantize-conv
+    kernel path)."""
     pieces, in_ch = _as_pieces(x)
     plist = pieces if pieces is not None else [x]
     xq = _XQuant(name="xq")(plist)
@@ -331,8 +432,13 @@ def _stage1(x, out_ch, dtype):
         norm_in = deq if pieces is not None else deq[0]
     else:
         norm_in = pieces if pieces is not None else x
-    h = _GNParams(name="norm1")(norm_in)
-    if pieces is not None:
+    h = _GNParams(name="norm1", fused_out_ch=out_ch)(
+        norm_in, deterministic=deterministic
+    )
+    if isinstance(h, _AffineChain):
+        conv_cls = _PieceConv3 if pieces is not None else Conv3
+        h = conv_cls(out_ch, dtype, name="conv1")(h)
+    elif pieces is not None:
         h = _PieceConv3(out_ch, dtype, name="conv1")([nn.silu(p) for p in h])
     else:
         h = _conv3(out_ch, dtype, "conv1")(nn.silu(h))
@@ -358,6 +464,23 @@ def _residual_add(h, x, pieces, in_ch, out_ch, dtype, xq=None):
     return h + x
 
 
+def _stage_n(h, films, out_ch, dropout, dtype, deterministic, norm_name,
+             conv_name):
+    """norm{2,3} -> SiLU -> dropout -> conv, shared by the conditioned
+    ResBlock stages. Under int8 turbo the norm may return an
+    :class:`_AffineChain`, in which case SiLU/quantize run inside the
+    fused conv kernel and the (deterministic) dropout is an identity —
+    chains are only produced when ``deterministic`` is True."""
+    h = _GNParams(name=norm_name, fused_out_ch=out_ch)(
+        h, films=films, deterministic=deterministic
+    )
+    if isinstance(h, _AffineChain):
+        return Conv3(out_ch, dtype, name=conv_name)(h)
+    h = nn.silu(h)
+    h = nn.Dropout(dropout)(h, deterministic=deterministic)
+    return _conv3(out_ch, dtype, conv_name)(h)
+
+
 def _film_proj(tdim_in, out_ch, dtype, name):
     """SiLU -> Linear(tdim -> 2*out_ch), split to (scale, shift)
     (reference: modules.py:209-211, 269-275)."""
@@ -381,21 +504,17 @@ class ResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype)
+        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype,
+                                       deterministic)
 
         t = _film_proj(temb.shape[-1], self.out_ch, self.dtype, "temb_proj")(
             nn.silu(temb)
         )
         t_scale, t_shift = jnp.split(t, 2, axis=-1)
-        h = _GNParams(name="norm2")(h, films=[(t_scale, t_shift)])
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = _conv3(self.out_ch, self.dtype, "conv2")(h)
-
-        h = _GNParams(name="norm3")(h)
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = _conv3(self.out_ch, self.dtype, "conv3")(h)
+        h = _stage_n(h, [(t_scale, t_shift)], self.out_ch, self.dropout,
+                     self.dtype, deterministic, "norm2", "conv2")
+        h = _stage_n(h, [], self.out_ch, self.dropout, self.dtype,
+                     deterministic, "norm3", "conv3")
 
         h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype,
                           xq=xq)
@@ -423,7 +542,8 @@ class AuxResBlock(nn.Module):
     ) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype)
+        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype,
+                                       deterministic)
 
         t = _film_proj(temb.shape[-1], self.out_ch, self.dtype, "temb_proj")(
             nn.silu(temb)
@@ -435,17 +555,11 @@ class AuxResBlock(nn.Module):
         a_scale, a_shift = jnp.split(a, 2, axis=-1)
         # fused GN + dual FiLM (reference applies time FiLM then aux FiLM
         # back-to-back on the same normalized activations; modules.py:312-318)
-        h = _GNParams(name="norm2")(
-            h, films=[(t_scale, t_shift), (a_scale, a_shift)]
-        )
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = _conv3(self.out_ch, self.dtype, "conv2")(h)
-
-        h = _GNParams(name="norm3")(h)
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = _conv3(self.out_ch, self.dtype, "conv3")(h)
+        h = _stage_n(h, [(t_scale, t_shift), (a_scale, a_shift)],
+                     self.out_ch, self.dropout, self.dtype, deterministic,
+                     "norm2", "conv2")
+        h = _stage_n(h, [], self.out_ch, self.dropout, self.dtype,
+                     deterministic, "norm3", "conv3")
 
         h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype,
                           xq=xq)
@@ -467,12 +581,11 @@ class EncoderResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         from infodiffusion_tpu.nn.attention import AttnBlock
 
-        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype)
+        h, pieces, in_ch, xq = _stage1(x, self.out_ch, self.dtype,
+                                       deterministic)
 
-        h = _GNParams(name="norm2")(h)
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = _conv3(self.out_ch, self.dtype, "conv2")(h)
+        h = _stage_n(h, [], self.out_ch, self.dropout, self.dtype,
+                     deterministic, "norm2", "conv2")
 
         h = _residual_add(h, x, pieces, in_ch, self.out_ch, self.dtype,
                           xq=xq)

@@ -170,6 +170,45 @@ def group_norm(
     return h.astype(x.dtype)
 
 
+def group_norm_affine(
+    x,
+    num_groups: int,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    films: Sequence[Tuple[jnp.ndarray, jnp.ndarray]] = (),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Collapse the whole GroupNorm-apply + FiLM chain into per-(batch,
+    channel) affine rows: returns f32 ``(A, B)`` of shape [B, C] with
+
+        adagn(x, ...) == x * A[:, None, None, :] + B[:, None, None, :]
+
+    (exact up to f32 reassociation). ``x`` may be one array or the
+    skip-concat piece list (joint stats, :func:`_gn_stats_from_pieces`).
+    The rows feed the fused quantize-conv Pallas kernel
+    (ops/pallas/qconv.py), which runs the chain in registers; they are
+    O(B*C) to build, so the stats reductions stay the only HBM pass.
+    """
+    if isinstance(x, (tuple, list)):
+        B = x[0].shape[0]
+        C = sum(p.shape[-1] for p in x)
+        mean, rstd = _gn_stats_from_pieces(list(x), num_groups)
+    else:
+        B, C = x.shape[0], x.shape[-1]
+        mean, rstd = _gn_stats(x, num_groups)
+    gsize = C // num_groups
+    mean_c = jnp.repeat(mean.reshape(B, num_groups), gsize, axis=-1)
+    rstd_c = jnp.repeat(rstd.reshape(B, num_groups), gsize, axis=-1)
+    s = scale.astype(jnp.float32)[None, :]
+    A = rstd_c * s
+    Brow = bias.astype(jnp.float32)[None, :] - mean_c * A
+    for fs, fb in films:
+        fs = fs.astype(jnp.float32)
+        fb = fb.astype(jnp.float32)
+        A = A * (1.0 + fs)
+        Brow = Brow * (1.0 + fs) + fb
+    return A, Brow
+
+
 def adagn(
     x: jnp.ndarray,
     num_groups: int,

@@ -1,0 +1,371 @@
+"""Fused [GN/FiLM affine -> SiLU -> int8 quantize -> 3x3 conv -> dequant]
+Pallas kernel: the int8 turbo tier's structural-tax attack.
+
+Why this kernel exists (BASELINE.md "Fusion-aware ceiling analysis" item
+5): under ``--turbo int8`` the GN/FiLM/SiLU chains that ride conv INPUT
+fusions in bf16 must run as separate quantize passes, because XLA cannot
+fuse a bf16 elementwise chain into an int8 convolution — a structural
+boundary of the compiler, not a hardware floor. Those passes measured
+312 ms = 24.4% of the turbo DDIM-100 trace, running at their own HBM
+bandwidth floor (600-1100 GB/s). This kernel crosses that boundary the
+same way ops/pallas/latent_traj.py crossed the scan-step boundary: the
+chain runs on the VPU *in registers* between the bf16 tile load and the
+int8 MXU matmul, so the s8 intermediate never exists in HBM and the
+standalone pass disappears entirely.
+
+What one kernel invocation computes (NHWC, per ResBlock conv site —
+reference modules.py:247-258, the GN->FiLM->SiLU->conv hot block):
+
+    h   = silu(x * A + B)            # A,B: per-(batch, channel) rows that
+                                     # collapse GroupNorm-apply + FiLM(s)
+                                     # (stats/films computed outside, tiny)
+    q_i = clip(round(h_i / s_i))     # per-piece symmetric int8 (static
+                                     # calibrated scales, ops/quant.py)
+    y   = conv3x3(q, Kq)             # int8 x int8 -> s32 on the MXU
+    out = y * sw + bias   [-> bf16]  # act scales pre-FOLDED into Kq's
+                                     # input-channel slices (the
+                                     # quantize_pieces_folded algebra), so
+                                     # dequant is one per-Cout scale
+
+``x`` may be a list of skip-concat PIECES (the UNet upblocks): each
+piece quantizes in registers and the conv accumulates across pieces in
+s32 *inside the MXU pass* — the bf16 partial-sum spills of the XLA
+piece-conv path (67 MB per level-0 upblock step) disappear as well.
+
+Conv-as-shifted-matmul layout (how the 3x3 maps onto the 128x128 MXU):
+
+- width taps dw in {0,1,2} pack into K: the kernel builds
+  ``Xcat[m, dw*Ctot + c] = qpad[row, w + dw, c]`` from the W-zero-padded
+  int8 tile, so K = 3*Ctot (384 at the flagship's C=128 levels — fully
+  lane-aligned; 192 at C=64, 75% util after Mosaic pads to 256);
+- height taps dh pack into N: ``Kmat[dw*Ctot+c, dh*Cout+o] =
+  Kq[dh, dw, c, o]``, so N = 3*Cout and one matmul per row-tile
+  produces all three row-shifted partials, recombined by two sublane-
+  shifted s32 adds: ``out[h] = Y[h, 0:C] + Y[h+1, C:2C] + Y[h+2, 2C:]``.
+  At C_out=128 this runs (M, 384)x(384, 384) — the MXU shape the
+  architecture's own C=64 convs deny XLA (BASELINE.md item 2).
+- M = NB*(TH+2)*W flattened (batch-tile x padded-row-tile x width); the
+  two halo rows per tile recompute the chain on 2/TH extra rows instead
+  of exchanging state across tiles.
+
+Quantization math is IDENTICAL to the XLA turbo path (ops/quant.py):
+f32 divide / round-half-even / clip to [-127,127]; the one deliberate
+divergence is documented in ``qconv_fused``: the chain keeps f32
+precision up to the quantize (the XLA path round-trips through bf16
+after the norm), so a small fraction of values land one int8 unit away
+— strictly MORE precise, bounded by the int8 grid itself, and far below
+the D16 near-pixel tolerance.
+
+The weight-side prep (fold + quantize + pack) runs in plain XLA each
+apply — O(params) elementwise, hoisted/fused by XLA exactly like the
+existing inline weight quantization (ops/quant.py module docstring).
+
+Activation: default ON on TPU when the turbo tier is active and the
+shapes gate passes (every flagship conv site does);
+INFODIFF_DISABLE_FUSED_QCONV=1 reverts to the XLA int8 path, and the
+umbrella INFODIFF_DISABLE_PALLAS=1 also disables it.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from infodiffusion_tpu.ops.quant import quantize_weight
+
+_LANE = 128
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB core
+
+
+def use_fused_qconv() -> bool:
+    """Default ON for real-TPU turbo runs; opt out with
+    INFODIFF_DISABLE_FUSED_QCONV=1 (just this kernel) or
+    INFODIFF_DISABLE_PALLAS=1 (the umbrella escape hatch)."""
+    if os.environ.get("INFODIFF_DISABLE_FUSED_QCONV") == "1":
+        return False
+    if os.environ.get("INFODIFF_DISABLE_PALLAS") == "1":
+        return False
+    if os.environ.get("INFODIFF_FORCE_FUSED_QCONV") == "1":
+        return True  # tests: exercise the kernel (interpret) off-TPU
+    return jax.default_backend() == "tpu"
+
+
+def _vmem_need(nb, th, H, W, ctot, cout):
+    """Rough VMEM accounting for plan (nb, th): pipelined in/out value
+    blocks plus the per-tile matmul intermediates."""
+    m = nb * (th + 2) * W
+    k, n = 3 * ctot, 3 * cout
+    return (
+        2 * nb * H * W * ctot * 2          # x pieces in (x2 pipeline)
+        + m * (W + 2) * 0 + m * k          # Xcat s8 (+ zpad temps ~same)
+        + m * k                            # zero-padded q windows, s8
+        + m * n * 4                        # Y s32
+        + 2 * nb * H * W * cout * 2        # out (x2 pipeline)
+        + k * n                            # Kmat s8
+        + 2 * 4 * cout                     # sw/bias
+    )
+
+
+def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int):
+    """Pick (NB, TH): batch-per-program and internal row-tile. Search
+    every feasible combo and keep the largest matmul M = NB*(TH+2)*W
+    that fits the VMEM budget (big M amortizes the 2-row halo recompute
+    and keeps the MXU fed); None = no feasible plan (the caller falls
+    back to the XLA int8 path)."""
+    best, best_m = None, 0
+    for nb in (32, 16, 8, 4, 2, 1):
+        if B % nb:
+            continue
+        for th in (H, H // 2, H // 4, H // 8):
+            if not th or H % th or (th < 4 and th != H):
+                continue
+            if H // th > 16:  # static unroll bound on the tile loop
+                continue
+            m = nb * (th + 2) * W
+            if m > 16384:
+                continue
+            if _vmem_need(nb, th, H, W, ctot, cout) > _VMEM_BUDGET:
+                continue
+            # prefer bigger M; tie-break toward fewer halo rows (big TH)
+            score = m * 100 + th
+            if score > best_m:
+                best, best_m = (nb, th), score
+    return best
+
+
+def fused_qconv_supported(pieces_shapes, out_ch: int) -> bool:
+    """Shape gate. Covers every flagship conv1/2/3 site (stride-1,
+    no-repeat, C in {64,128,192,256}); anything else falls back to the
+    XLA int8 path in nn/blocks.py."""
+    if not pieces_shapes:
+        return False
+    lead = pieces_shapes[0][:-1]
+    if len(lead) != 3:  # NHWC only (latent 1-D convs don't come here)
+        return False
+    B, H, W = lead
+    if any(tuple(s[:-1]) != tuple(lead) for s in pieces_shapes):
+        return False
+    ctot = sum(s[-1] for s in pieces_shapes)
+    if ctot % 32 or out_ch % 32:
+        return False
+    if H < 4 or W < 4 or W > 256:
+        return False
+    return _tile_plan(B, H, W, ctot, out_ch) is not None
+
+
+def _kernel(n_pieces, NB, TH, H, W, ctot, cout, out_dtype, *refs):
+    """One grid program = NB batch samples, full H (looped in TH tiles).
+
+    refs layout: [x_1..x_n, A, B, s, Kmat, sw, bias, out]."""
+    xs = refs[:n_pieces]
+    a_ref, b_ref, s_ref, kmat_ref, swb_ref = refs[n_pieces : n_pieces + 5]
+    out_ref = refs[-1]
+
+    kmat = kmat_ref[:]  # (3*ctot, 3*cout) int8, resident across tiles
+    swb = swb_ref[:].astype(jnp.float32)  # (2, cout): [sw; bias]
+    sw = swb[0:1, :]
+    bias = swb[1:2, :]
+
+    def _zpad(q, top, bot):
+        """Zero rows at tile edges + the 1-column W borders, via concat
+        (jnp.pad's lax.pad primitive is not guaranteed in Mosaic)."""
+        nb, r, w, c = q.shape
+        z = lambda *s: jnp.zeros(s, jnp.int8)
+        parts = []
+        if top:
+            parts.append(z(nb, top, w, c))
+        parts.append(q)
+        if bot:
+            parts.append(z(nb, bot, w, c))
+        q = jnp.concatenate(parts, axis=1) if len(parts) > 1 else q
+        zc = z(nb, q.shape[1], 1, c)
+        return jnp.concatenate([zc, q, zc], axis=2)
+
+    n_tiles = H // TH
+    for ht in range(n_tiles):  # static unroll (<= 8 tiles)
+        r0 = ht * TH - 1  # input row of padded-tile row 0
+        # --- chain + quantize the (TH+2)-row window, zero-padded W ---
+        off = 0
+        qrows = []
+        for i in range(n_pieces):
+            ci = xs[i].shape[-1]
+            lo = max(0, r0)
+            hi = min(H, r0 + TH + 2)
+            xwin = xs[i][:, lo:hi, :, :].astype(jnp.float32)
+            aw = a_ref[:, off : off + ci].astype(jnp.float32)
+            bw = b_ref[:, off : off + ci].astype(jnp.float32)
+            h = xwin * aw[:, None, None, :] + bw[:, None, None, :]
+            h = h * jax.nn.sigmoid(h)  # SiLU, f32
+            si = s_ref[0, i]
+            q = jnp.clip(jnp.round(h / si), -127.0, 127.0).astype(jnp.int8)
+            top = 1 if r0 < 0 else 0
+            bot = (TH + 2) - (hi - lo) - top
+            qrows.append(_zpad(q, top, bot))  # (NB, TH+2, W+2, ci)
+            off += ci
+        # --- Xcat: width taps into K ---
+        xcat = jnp.concatenate(
+            [q[:, :, dw : dw + W, :] for dw in range(3) for q in qrows],
+            axis=-1,
+        )  # (NB, TH+2, W, 3*ctot) — piece-major inside each dw block
+        m = NB * (TH + 2) * W
+        y = jnp.dot(
+            xcat.reshape(m, 3 * ctot), kmat,
+            preferred_element_type=jnp.int32,
+        ).reshape(NB, TH + 2, W, 3 * cout)
+        # --- height taps: row-shifted s32 recombine ---
+        acc = (
+            y[:, 0:TH, :, 0:cout]
+            + y[:, 1 : TH + 1, :, cout : 2 * cout]
+            + y[:, 2 : TH + 2, :, 2 * cout : 3 * cout]
+        )
+        outv = acc.astype(jnp.float32) * sw[:, None, None, :] + (
+            bias[:, None, None, :]
+        )
+        out_ref[:, ht * TH : (ht + 1) * TH, :, :] = outv.astype(out_dtype)
+
+
+def _fold_pack(kernel, s_act, piece_channels):
+    """Fold per-piece act scales into the kernel's input-channel slices,
+    jointly weight-quantize per output channel, and pack for the
+    shifted-matmul layout. Matches ops/quant.py quantize_pieces_folded
+    exactly; the dw-major/piece-major K ordering mirrors the kernel's
+    Xcat concat order."""
+    kf = kernel.astype(jnp.float32)
+    slices, o = [], 0
+    for i, c in enumerate(piece_channels):
+        slices.append(kf[:, :, o : o + c, :] * s_act[i])
+        o += c
+    keff = jnp.concatenate(slices, axis=2)  # (3,3,Ctot,Cout)
+    kq, sw = quantize_weight(keff, (0, 1, 2))
+    # Kmat[dw*Ctot + c, dh*Cout + o] = kq[dh, dw, c, o]
+    ctot, cout = keff.shape[2], keff.shape[3]
+    kmat = kq.transpose(1, 2, 0, 3).reshape(3 * ctot, 3 * cout)
+    return kmat, sw
+
+
+def qconv_fused(
+    pieces: Sequence[jnp.ndarray],
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    absmax: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``conv3x3(q8(silu(concat(pieces)*A + B)), q8(kernel))`` dequantized
+    to ``out_dtype``, as ONE Pallas pass.
+
+    pieces: bf16/f32 [Bt,H,W,C_i] (1 = plain conv, 2 = UNet skip-concat);
+    A, B: f32 [Bt, Ctot] — the collapsed GN-apply+FiLM affine rows;
+    absmax: f32 [n_pieces] calibrated |max| per piece (ops/quant.py);
+    kernel: f32 [3,3,Ctot,Cout] (the UN-quantized param — folding +
+    quantization + packing happen here, in XLA); bias: f32 [Cout].
+
+    Deliberate precision divergence vs the XLA turbo path: the chain
+    stays f32 through the quantize (XLA's adagn casts to the module
+    dtype — bf16 — before silu/quantize), so isolated values may land
+    one int8 unit apart. Bounded by the int8 grid; see PARITY.md D16.
+    """
+    pieces = list(pieces)
+    n = len(pieces)
+    Bt, H, W, _ = pieces[0].shape
+    cs = [int(p.shape[-1]) for p in pieces]
+    ctot = sum(cs)
+    cout = int(kernel.shape[-1])
+    plan = _tile_plan(Bt, H, W, ctot, cout)
+    assert plan is not None, (Bt, H, W, ctot, cout)
+    NB, TH = plan
+
+    s_act = jnp.maximum(absmax.astype(jnp.float32).reshape(n), 1e-30) / 127.0
+    kmat, sw = _fold_pack(kernel, s_act, cs)
+    swb = jnp.stack([sw.astype(jnp.float32),
+                     bias.astype(jnp.float32)])  # (2, Cout)
+
+    kern = functools.partial(
+        _kernel, n, NB, TH, H, W, ctot, cout, out_dtype
+    )
+    grid = (Bt // NB,)
+    in_specs = [
+        pl.BlockSpec((NB, H, W, c), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for c in cs
+    ] + [
+        pl.BlockSpec((NB, ctot), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),  # A
+        pl.BlockSpec((NB, ctot), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),  # B
+        pl.BlockSpec((1, n), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),  # s_act
+        pl.BlockSpec((3 * ctot, 3 * cout), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),  # Kmat
+        pl.BlockSpec((2, cout), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),  # sw/bias
+    ]
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((NB, H, W, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bt, H, W, cout), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bt * H * W * 9 * ctot * cout,
+            bytes_accessed=(
+                Bt * H * W * (2 * ctot + 2 * cout) + 9 * ctot * cout
+            ),
+            transcendentals=Bt * H * W * ctot,
+        ),
+    )(
+        *pieces,
+        A.astype(jnp.float32),
+        B.astype(jnp.float32),
+        s_act.reshape(1, n),
+        kmat,
+        swb,
+    )
+    return out
+
+
+def qconv_reference(pieces, A, B, absmax, kernel, bias,
+                    out_dtype=jnp.bfloat16):
+    """Plain-XLA oracle implementing the kernel's EXACT math (f32 chain,
+    folded scales, s32 conv, single dequant) — the parity target for
+    tests/test_qconv.py."""
+    pieces = list(pieces)
+    n = len(pieces)
+    cs = [int(p.shape[-1]) for p in pieces]
+    s_act = jnp.maximum(absmax.astype(jnp.float32).reshape(n), 1e-30) / 127.0
+    kf = kernel.astype(jnp.float32)  # folding below mirrors _fold_pack
+    slices, o = [], 0
+    for i, c in enumerate(cs):
+        slices.append(kf[:, :, o : o + c, :] * s_act[i])
+        o += c
+    kq, sw = quantize_weight(jnp.concatenate(slices, axis=2), (0, 1, 2))
+    qs, o = [], 0
+    for i, p in enumerate(pieces):
+        c = cs[i]
+        h = p.astype(jnp.float32) * A[:, None, None, o : o + c] + (
+            B[:, None, None, o : o + c]
+        )
+        h = h * jax.nn.sigmoid(h)
+        qs.append(
+            jnp.clip(jnp.round(h / s_act[i]), -127.0, 127.0).astype(jnp.int8)
+        )
+        o += c
+    xq = jnp.concatenate(qs, axis=-1)
+    y = lax.conv_general_dilated(
+        xq, kq, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * sw + bias.astype(jnp.float32)
+    return out.astype(out_dtype)

@@ -95,9 +95,26 @@ def ring_attention(
         )
         return (o / l).astype(v.dtype)
 
-    return shard_map(
+    # Pin the op boundary to REPLICATED on this mesh. Under --sp the
+    # surrounding model is replicated (the 'seq' mesh owns all devices),
+    # but without explicit constraints GSPMD propagates the shard_map's
+    # token sharding into the enclosing fwd+bwd graph — and on the
+    # deepest-level attention configs that propagation produced a
+    # SILENTLY WRONG cotangent accumulation (an `add_any` under
+    # "involuntary full rematerialization", XLA b/433785288): the UNet
+    # tail conv's weight grad came out exactly 2x. Caught by the
+    # dryrun_multichip SP train-step gradient check (round 3); guarded
+    # by test_sp.py::test_sp_grads_deep_attention_level.
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    q, k, v = (
+        jax.lax.with_sharding_constraint(t, repl) for t in (q, k, v)
+    )
+    out = shard_map(
         body, mesh,
         in_specs=(P(None, axis, None),) * 3,
         out_specs=P(None, axis, None),
         check_rep=False,
     )(q, k, v)
+    return jax.lax.with_sharding_constraint(out, repl)

@@ -156,3 +156,37 @@ def test_configure_sp_warns_when_latency_bound():
             _configure_sp(cfg)
     finally:
         configure_sp(None)
+
+
+def test_sp_grads_deep_attention_level():
+    """Regression (round 3): with ring attention at the DEEPEST level of
+    a UNet (middle blocks run at the attention resolution), GSPMD used
+    to propagate the shard_map's token sharding into the surrounding
+    fwd+bwd graph and mis-accumulate a cotangent — the tail conv's
+    weight grad came out exactly 2x (silently wrong --sp training).
+    ring_attention now pins its boundary to replicated shardings."""
+    import jax.random as jr
+
+    from infodiffusion_tpu.models.unet import UNet
+    from infodiffusion_tpu.parallel.ring_attention import make_seq_mesh
+
+    m = UNet(T=8, ch=32, ch_mult=(1, 2, 2), attn=(2,), num_res_blocks=1,
+             out_ch=1)
+    x = jr.normal(jr.PRNGKey(0), (2, 16, 16, 1))
+    t = jnp.full((2,), 3)
+    v = m.init({"params": jr.PRNGKey(1), "dropout": jr.PRNGKey(2)}, x, t)
+
+    def loss(p):
+        return jnp.mean(m.apply({"params": p}, x, t) ** 2)
+
+    g_dense = jax.jit(jax.grad(loss))(v["params"])
+    with sp_scope(make_seq_mesh(8), min_tokens=16):
+        g_sp = jax.jit(jax.grad(loss))(v["params"])
+    for (path, gd), gs in zip(
+        jax.tree_util.tree_flatten_with_path(g_dense)[0],
+        jax.tree.leaves(g_sp),
+    ):
+        nd = float(jnp.linalg.norm(gd))
+        assert float(jnp.max(jnp.abs(gd - gs))) <= 1e-4 + 1e-3 * nd, (
+            path, nd, float(jnp.linalg.norm(gs))
+        )
