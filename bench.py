@@ -210,10 +210,14 @@ def latent_main():
         float(jnp.mean(out))  # value fetch = reliable sync (see main())
         times.append(time.perf_counter() - t0)
     lps = batch / min(times)
+    # INFODIFF_TURBO=int8 quantizes the trajectory kernel's weight
+    # stream (samplers.py wires it through _resolve_turbo); tier-suffix
+    # the metric so the two series never mix
+    tier = f"_{p.turbo}turbo" if (p.turbo and p._traj) else ""
     print(
         json.dumps(
             {
-                "metric": "latent_ddim1000_latents_per_sec",
+                "metric": f"latent_ddim1000_latents_per_sec{tier}",
                 "value": round(lps, 1),
                 "unit": "latents/s",
                 "vs_baseline": None,
@@ -254,6 +258,15 @@ def encode_main():
 
     key = jr.PRNGKey(0)
     x = jr.normal(key, (batch, size, size, 3))
+    # INFODIFF_TURBO=int8 runs the Encoder conv bodies W8A8 (the same
+    # collection-presence switch the samplers use; runner._encoder_quant
+    # is the product path)
+    turbo = os.environ.get("INFODIFF_TURBO", "")
+    if turbo:
+        from infodiffusion_tpu.ops.quant import calibrate_encoder
+
+        quant = calibrate_encoder(model, variables, x=x[:32], mode=turbo)
+        variables = {**variables, "quant": quant}
     float(enc(variables, x))
     times = []
     for i in range(reps):
@@ -262,14 +275,17 @@ def encode_main():
         v = float(enc(variables, xi))
         times.append(time.perf_counter() - t0)
     ips = batch / min(times)
+    metric = (
+        "encode_imgs_per_sec"
+        if size == 64
+        else f"encode_imgs_per_sec_{size}px"
+    )
+    if turbo:
+        metric += f"_{turbo}turbo"
     print(
         json.dumps(
             {
-                "metric": (
-                    "encode_imgs_per_sec"
-                    if size == 64
-                    else f"encode_imgs_per_sec_{size}px"
-                ),
+                "metric": metric,
                 "value": round(ips, 1),
                 "unit": "imgs/s",
                 "vs_baseline": None,

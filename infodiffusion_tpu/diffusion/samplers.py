@@ -529,13 +529,22 @@ class LatentDiffusionProcess:
     INFODIFF_DISABLE_PALLAS umbrella) reverts to the XLA scan.
     INFODIFF_ENABLE_FUSED_LATENT=1 selects the older per-forward fused
     kernel instead (latent_mlp.py; ~10% behind XLA, kept as a measured
-    alternative)."""
+    alternative).
 
-    def __init__(self, cfg, model, params, mesh=None):
+    ``--turbo int8`` (or INFODIFF_TURBO=int8) quantizes the trajectory
+    kernel's WEIGHT STREAM to int8 (ops/pallas/latent_traj.py
+    quantize_packed_weights): the step is weight-stream-bound, so
+    halving the ~26 MB/step DMA is a direct win; the matmuls stay bf16
+    on the MXU. Latent turbo requires the trajectory kernel — on the
+    XLA-scan fallback paths (mesh, kernel disabled, unsupported shapes)
+    the latent leg stays bf16 and a warning says so."""
+
+    def __init__(self, cfg, model, params, mesh=None, turbo=None):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.mesh = mesh
+        self.turbo = _resolve_turbo(cfg, turbo)
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)
@@ -583,8 +592,27 @@ class LatentDiffusionProcess:
                     "INFODIFF_DISABLE_FUSED_LATENT_TRAJ=1"
                     if want_traj else "unset INFODIFF_ENABLE_FUSED_LATENT"
                 )
+                tag = ""
+                if self._traj and self.turbo:
+                    from infodiffusion_tpu.ops.pallas.latent_traj import (
+                        quantize_packed_weights,
+                    )
+
+                    self.params = quantize_packed_weights(self.params)
+                    tag = ", int8 weight stream"
                 print(f"[latent sampler] fused Pallas kernel: on "
-                      f"({which}; {off} for the XLA path)", file=sys.stderr)
+                      f"({which}{tag}; {off} for the XLA path)",
+                      file=sys.stderr)
+        if self.turbo and not self._traj:
+            import warnings
+
+            warnings.warn(
+                "--turbo requested for the latent sampler but the "
+                "whole-trajectory kernel is not active (mesh path, "
+                "non-TPU backend, INFODIFF_DISABLE_* set, or unsupported "
+                "a_dim) — the latent leg runs bf16; only the trajectory "
+                "kernel carries the int8 weight stream"
+            )
         self._jit_sample = jax.jit(self._sample_impl)
         self._jit_reverse = jax.jit(self._reverse_impl)
         self._jit_sample_draw = jax.jit(

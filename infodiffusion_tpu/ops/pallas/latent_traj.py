@@ -86,6 +86,27 @@ def use_fused_latent_traj() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def quantize_packed_weights(packed):
+    """int8 weight STREAM for the trajectory kernel (the latent leg of
+    the ``--turbo int8`` tier): per-(layer, output-column) symmetric int8
+    of the packed ``W`` stack, dequantized in-register after the DMA.
+
+    Why: the kernel's own docstring — the latent step is
+    weight-stream-bound (~26 MB of MLP weights cross HBM per step at
+    a_dim=256 bf16). int8 halves that stream; the matmul still runs bf16
+    on the MXU (int8 values are exact in bf16) with the per-column scale
+    applied to the f32 accumulator, so the only new error is the weight
+    rounding itself — the same W8 granularity as the conv tier
+    (ops/quant.py quantize_weight). Zero-padded rows/columns stay exact
+    zeros. Returns ``packed`` with ``W`` int8 and a new ``Wsc`` [L, h]
+    f32 scale table (VMEM-resident in the kernel, 40 KB)."""
+    W = packed["W"].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(W), axis=1)  # [L, h]
+    sc = jnp.maximum(absmax, 1e-30) / 127.0
+    Wq = jnp.clip(jnp.round(W / sc[:, None, :]), -127.0, 127.0)
+    return {**packed, "W": Wq.astype(jnp.int8), "Wsc": sc}
+
+
 def sampling_coefficients(sched: Schedule, idxs, deterministic: bool,
                           eta: float = DEFAULT_ETA):
     """Per-step affine-update coefficients (cx, ce, cn), each [S] f32,
@@ -145,11 +166,18 @@ def reverse_coefficients(sched: Schedule, idxs):
     return cx, ce, jnp.zeros_like(cx)
 
 
-def _kernel(x_ref, coef_ref, w_hbm, c_hbm, n_hbm, b_ref, g_ref, be_ref,
-            o_ref, wbuf, cbuf, nbuf, wsem, csem, nsem,
-            *, S: int, L: int, d: int, h: int, bt: int):
+def _kernel(*refs, S: int, L: int, d: int, h: int, bt: int, wq: bool):
+    if wq:  # int8 weight stream: extra VMEM-resident scale table
+        (x_ref, coef_ref, w_hbm, c_hbm, n_hbm, b_ref, g_ref, be_ref,
+         wsc_ref, o_ref, wbuf, cbuf, nbuf, wsem, csem, nsem) = refs
+    else:
+        (x_ref, coef_ref, w_hbm, c_hbm, n_hbm, b_ref, g_ref, be_ref,
+         o_ref, wbuf, cbuf, nbuf, wsem, csem, nsem) = refs
+        wsc_ref = None
     win = h + d
-    wdtype = w_hbm.dtype
+    # int8 weights matmul in bf16 (values <= 127 are exact in bf16; the
+    # input cast matches the bf16-weight path's precision)
+    wdtype = jnp.bfloat16 if wq else w_hbm.dtype
     b0 = pl.program_id(0) * bt
 
     def w_dma(slot, layer):
@@ -189,19 +217,24 @@ def _kernel(x_ref, coef_ref, w_hbm, c_hbm, n_hbm, b_ref, g_ref, be_ref,
                 # last reader of slot (j+1)%2), so the overwrite is safe
                 w_dma((j + 1) % 2, j + 1).start()
             w_dma(j % 2, j).wait()
+            wmat = wbuf[j % 2]
+            if wq:
+                wmat = wmat.astype(wdtype)
             if j == 0:
                 z = lax.dot_general(
-                    x.astype(wdtype), wbuf[j % 2][:d, :],
+                    x.astype(wdtype), wmat[:d, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             else:
                 inp = jnp.concatenate([hcur, x], axis=1)
                 z = lax.dot_general(
-                    inp.astype(wdtype), wbuf[j % 2],
+                    inp.astype(wdtype), wmat,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+            if wq:  # per-output-column dequant on the f32 accumulator
+                z = z * wsc_ref[j][None, :]
             z = z + b_ref[j][None, :]
             if j < L - 1:
                 z = z * cbuf[islot, j][None, :]  # precomputed 1 + FiLM
@@ -239,13 +272,17 @@ def latent_trajectory_pallas(
 ) -> jnp.ndarray:
     """Run a whole latent trajectory in one pallas_call.
 
-    ``packed`` is latent_mlp.pack_latent_unet_params output. ``idxs``
-    defaults to the full reverse grid T-1..0 (or 1..T-2 when
-    ``reverse=True``, matching reverse_sample_loop). ``noises``
-    optionally injects the per-step draws (parity tests); by default
-    they are pre-drawn with exactly sample_loop's key chain."""
+    ``packed`` is latent_mlp.pack_latent_unet_params output, optionally
+    passed through :func:`quantize_packed_weights` (int8 ``W`` + ``Wsc``
+    — the turbo tier's latent leg). ``idxs`` defaults to the full
+    reverse grid T-1..0 (or 1..T-2 when ``reverse=True``, matching
+    reverse_sample_loop). ``noises`` optionally injects the per-step
+    draws (parity tests); by default they are pre-drawn with exactly
+    sample_loop's key chain."""
     B, d = xT.shape
     L, win, h = packed["W"].shape
+    wq = packed["W"].dtype == jnp.int8
+    assert not wq or "Wsc" in packed, "int8 W requires the Wsc scale table"
     # Mosaic rejects sub-128 lane widths: pad the state/noise/eps lane
     # dimension d up to a 128 multiple. The padded weight rows are exact
     # zeros (appended below; layer 0's rows d:win are already zero from
@@ -327,19 +364,25 @@ def latent_trajectory_pallas(
         return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        rows((bt, dp)),                     # xT block (lane-padded)
+        pl.BlockSpec(                       # [S, 3] f32 scalars
+            coef.shape, lambda b: (0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.HBM),  # W    (DMAed per layer)
+        pl.BlockSpec(memory_space=pltpu.HBM),  # c_all (DMAed per step)
+        pl.BlockSpec(memory_space=pltpu.HBM),  # noises (DMAed per step)
+        full(packed["B"]), full(packed["G"]), full(packed["Be"]),
+    ]
+    args = [xT_in, coef, W, c_all, noises,
+            packed["B"], packed["G"], packed["Be"]]
+    if wq:
+        in_specs.append(full(packed["Wsc"]))  # [L, h] dequant scales
+        args.append(packed["Wsc"])
     out = pl.pallas_call(
-        functools.partial(_kernel, S=S, L=L, d=dp, h=h, bt=bt),
+        functools.partial(_kernel, S=S, L=L, d=dp, h=h, bt=bt, wq=wq),
         grid=grid,
-        in_specs=[
-            rows((bt, dp)),                     # xT block (lane-padded)
-            pl.BlockSpec(                       # [S, 3] f32 scalars
-                coef.shape, lambda b: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # W    (DMAed per layer)
-            pl.BlockSpec(memory_space=pltpu.HBM),  # c_all (DMAed per step)
-            pl.BlockSpec(memory_space=pltpu.HBM),  # noises (DMAed per step)
-            full(packed["B"]), full(packed["G"]), full(packed["Be"]),
-        ],
+        in_specs=in_specs,
         out_specs=rows((bt, dp)),
         out_shape=jax.ShapeDtypeStruct((B, dp), jnp.float32),
         scratch_shapes=[
@@ -351,8 +394,7 @@ def latent_trajectory_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xT_in, coef, W, c_all, noises,
-      packed["B"], packed["G"], packed["Be"])
+    )(*args)
     if dp != d:
         out = out[:, :d]
     # match the scan path's dtype contract (carry keeps xT's dtype)

@@ -212,6 +212,41 @@ def observe_absmax(module, x_or_pieces, name="act_absmax") -> None:
     v.value = jnp.maximum(v.value, cur)
 
 
+def calibrate_encoder(model, variables, x=None, data_shape=None,
+                      batch=32, seed=0, mode="int8"):
+    """Encoder-only calibration for the save_latent / plot_latent /
+    disentangle workhorse (reference run.py:415-443): one jitted
+    deterministic ``model.encode`` forward with ``mutable=['quant']``.
+    Pass ``x`` (a real data batch from the loader — runner._encode_dataset
+    does) for data-conditioned scales; otherwise x ~ N(0,1) over
+    ``data_shape`` (images are [-1,1]-normalized, so the unit Gaussian
+    covers the input range and GroupNorm renormalizes every block).
+    Returns the populated 'quant' collection to thread through the
+    encode apply — conv bodies then run W8A8, and the supported GN/SiLU
+    ->conv sites record fused-qconv markers like the sampler tier."""
+    if mode not in MODES:
+        raise ValueError(f"unknown turbo mode {mode!r} (expected {MODES})")
+    if x is None:
+        x = jr.normal(
+            jr.PRNGKey(seed), (batch,) + tuple(data_shape), jnp.float32
+        )
+
+    @jax.jit
+    def run(variables, x):
+        _, q = model.apply(
+            variables, x, method=type(model).encode, sample=False,
+            mutable=["quant"],
+        )
+        return q["quant"]
+
+    global _calib_mode
+    _calib_mode = mode
+    try:
+        return run(variables, x)
+    finally:
+        _calib_mode = ""
+
+
 def calibrate(model, variables, data_shape, a_dim=None, T=1000,
               batch=32, seed=0, mode="int8"):
     """One jitted calibration forward: x ~ N(0,1) with per-sample

@@ -236,18 +236,40 @@ def _eval_encoder(cfg: Config, model):
     return _ENCODE_CACHE[key]
 
 
+def _encoder_quant(cfg: Config, model, variables, x):
+    """Calibrated 'quant' collection for the --turbo encode tier, or
+    None when turbo is off. Calibrates on ``x`` — a REAL data batch (the
+    sampler tier calibrates on noise because its inputs are trajectory
+    states; the encoder sees images, so data-conditioned scales are both
+    available and tighter). One jitted forward, negligible next to the
+    full-dataset encode that follows."""
+    from infodiffusion_tpu.diffusion.samplers import _resolve_turbo
+
+    mode = _resolve_turbo(cfg, None)
+    if not mode:
+        return None
+    from infodiffusion_tpu.ops.quant import calibrate_encoder
+
+    return calibrate_encoder(model, variables, x=x, mode=mode)
+
+
 def _encode_dataset(cfg: Config, model, variables):
     """Full-dataset deterministic encode -> (all_a [N, a_dim], all_attr)
     (reference: run.py:415-443). Latent selection per the regularizer
-    table: kld!=0 -> mu; else -> a (run.py:429-438)."""
+    table: kld!=0 -> mu; else -> a (run.py:429-438). Under --turbo the
+    Encoder conv bodies run int8 (calibrated on the first batch)."""
     loader = _loader(cfg, with_attrs=True, shuffle=False)
     enc = _eval_encoder(cfg, model)
 
-    all_a, all_attr = [], []
-    for x, attr in loader:
+    all_a, all_attr, quant = [], [], None
+    for i, (x, attr) in enumerate(loader):
+        if i == 0:
+            quant = _encoder_quant(cfg, model, variables, x)
         # f32 at the artifact boundary: under --bf16 the encoder emits
         # bfloat16, which numpy would pickle as objects inside the npz
-        all_a.append(np.asarray(enc(variables["params"], x), np.float32))
+        all_a.append(
+            np.asarray(enc(variables["params"], x, quant), np.float32)
+        )
         all_attr.append(
             np.asarray(attr) if attr is not None else
             np.full((len(all_a[-1]),), "No Attributes", dtype=object)
@@ -256,7 +278,8 @@ def _encode_dataset(cfg: Config, model, variables):
 
 
 def _encode_batch(cfg: Config, model, variables, x):
-    return _eval_encoder(cfg, model)(variables["params"], x)
+    quant = _encoder_quant(cfg, model, variables, x)
+    return _eval_encoder(cfg, model)(variables["params"], x, quant)
 
 
 def _nth_batch(loader, n: int):

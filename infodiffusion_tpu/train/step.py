@@ -98,11 +98,20 @@ def make_eval_encode_step(model, pick_mu: bool = False) -> Callable:
     run.py:386-392,415-443). ``pick_mu`` applies the regularizer table
     (kld!=0 -> mu, else -> a; run.py:429-438) INSIDE the jit so only the
     chosen latent crosses the device boundary. Params are an argument,
-    not a closure constant (CLAUDE.md benchmark trap 1)."""
+    not a closure constant (CLAUDE.md benchmark trap 1).
 
-    def encode(params, x):
+    ``quant``: an optional calibrated 'quant' collection
+    (ops/quant.py calibrate_encoder) — its presence switches the conv
+    tier to int8 (the --turbo encode path); passing None keeps the bf16
+    trace. The two call structures jit-cache separately by pytree
+    structure, exactly like the samplers."""
+
+    def encode(params, x, quant=None):
+        vs = {"params": params}
+        if quant is not None:
+            vs["quant"] = quant
         a, _aq, mu, _lv = model.apply(
-            {"params": params}, x, method=type(model).encode, sample=False
+            vs, x, method=type(model).encode, sample=False
         )
         return mu if pick_mu else a
 

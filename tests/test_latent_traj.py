@@ -268,3 +268,78 @@ def test_process_uses_trajectory_kernel(setup, monkeypatch):
     outr = p.reverse_sampling(xT)
     refr = p0.reverse_sampling(xT)
     assert _rel(outr, refr) < 1e-5
+
+
+def test_int8_weight_stream_matches_dequant_oracle(setup):
+    """quantize_packed_weights (the --turbo int8 latent leg): the kernel
+    with the int8 W stream must equal the XLA scan run on the
+    DEQUANTIZED weights (same values, so agreement is the usual
+    coefficient-reassociation tolerance), and the quantization noise vs
+    the f32 trajectory must sit in the W8 noise floor."""
+    from infodiffusion_tpu.ops.pallas.latent_mlp import latent_eps_fn
+
+    _model, _v, packed, sched, xT, _eps = setup
+    pq = latent_traj.quantize_packed_weights(packed)
+    assert pq["W"].dtype == jnp.int8
+    assert pq["Wsc"].shape == packed["W"].shape[::2]  # [L, h]
+    key = jr.PRNGKey(4)
+    pdeq = {**packed,
+            "W": pq["W"].astype(jnp.float32) * pq["Wsc"][:, None, :]}
+    ref = sample_loop(latent_eps_fn(pdeq, interpret=True), sched, xT, key,
+                      None, deterministic=True)
+    got = latent_traj.latent_trajectory_pallas(
+        pq, sched, xT, key, deterministic=True, interpret=True, block_b=8,
+    )
+    assert _rel(got, ref) < 1e-3
+    full = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT, key, deterministic=True, interpret=True,
+        block_b=8,
+    )
+    assert _rel(got, full) < 0.02  # whole-trajectory W8 noise floor
+    # reverse (encode) path carries the stream too
+    rev_q = latent_traj.latent_trajectory_pallas(
+        pq, sched, xT, None, deterministic=True, reverse=True,
+        interpret=True, block_b=8,
+    )
+    rev = latent_traj.latent_trajectory_pallas(
+        packed, sched, xT, None, deterministic=True, reverse=True,
+        interpret=True, block_b=8,
+    )
+    assert _rel(rev_q, rev) < 0.02
+
+
+def test_process_turbo_quantizes_weight_stream(setup, monkeypatch):
+    """LatentDiffusionProcess under --turbo int8 + active trajectory
+    kernel packs int8 weights; without the kernel it warns and stays
+    bf16."""
+    import warnings as _warnings
+
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.diffusion.samplers import LatentDiffusionProcess
+
+    model, v, _packed, _sched, _xT, _eps = setup
+    cfg = Config(model="diff", dataset="celeba", a_dim=D, is_latent=True,
+                 deterministic=True, diffusion_steps=T, turbo="int8")
+    monkeypatch.setattr(latent_traj, "use_fused_latent_traj", lambda: True)
+    monkeypatch.setattr(latent_traj, "fused_traj_shapes_ok", lambda d: True)
+    orig = latent_traj.latent_trajectory_pallas
+    monkeypatch.setattr(
+        latent_traj, "latent_trajectory_pallas",
+        functools.partial(orig, interpret=True, block_b=8),
+    )
+    p = LatentDiffusionProcess(cfg, model, v)
+    assert p._traj and p.turbo == "int8"
+    assert p.params["W"].dtype == jnp.int8 and "Wsc" in p.params
+    out = p.sampling(jr.PRNGKey(11), sampling_number=B)
+    assert out.shape == (B, D) and bool(jnp.all(jnp.isfinite(out)))
+    # bf16 parity at the product level
+    p0 = LatentDiffusionProcess(cfg.replace(turbo="off"), model, v)
+    ref = p0.sampling(jr.PRNGKey(11), sampling_number=B)
+    assert _rel(out, ref) < 0.02
+    # no trajectory kernel -> warn, params untouched
+    monkeypatch.setattr(latent_traj, "use_fused_latent_traj", lambda: False)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        pw = LatentDiffusionProcess(cfg, model, v)
+    assert any("turbo" in str(x.message) for x in w)
+    assert "params" in pw.params  # raw variables, not a packed dict

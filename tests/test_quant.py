@@ -350,3 +350,60 @@ def test_turbo_off_beats_env(monkeypatch):
     assert _resolve_turbo(cfg.replace(turbo="off"), None) == ""
     assert _resolve_turbo(cfg, "off") == ""             # explicit arg
     assert _resolve_turbo(cfg.replace(turbo="off"), "int8") == "int8"
+
+
+def _tiny_infodiff():
+    from infodiffusion_tpu.models import InfoDiff
+
+    return InfoDiff(T=10, a_dim=4, shape=(1, 16, 16), unets_channels=32,
+                    encoder_channels=32, mmd_weight=0.1, epochs=5)
+
+
+def test_calibrate_encoder_and_turbo_encode():
+    """Encoder turbo tier (the save_latent workhorse): calibrate_encoder
+    observes the Encoder's conv sites, the quantized encode tracks the
+    f32 encode in the int8 noise floor, and the latent-selection
+    (a vs mu) structure is unchanged."""
+    from infodiffusion_tpu.train.step import make_eval_encode_step
+
+    model = _tiny_infodiff()
+    x = jr.normal(jr.PRNGKey(7), (4, 16, 16, 1))
+    v = jax.jit(
+        lambda: model.init(
+            {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+             "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)},
+            jnp.zeros((1, 16, 16, 1)), 0, method=type(model).loss_fn,
+        )
+    )()
+    quant = q8.calibrate_encoder(model, v, x=x)
+    flat = jax.tree_util.tree_flatten_with_path(quant)[0]
+    paths = ["/".join(str(k.key) for k in p if hasattr(k, "key"))
+             for p, _ in flat]
+    assert any("encoder" in p for p in paths)
+    # the denoising UNet never runs in encode — no sites observed there
+    assert all("encoder" in p for p in paths)
+    enc = make_eval_encode_step(model)
+    ref = enc(v["params"], x, None)
+    out = enc(v["params"], x, quant)
+    assert out.shape == ref.shape
+    assert _rel_l2(out, ref) < 0.15  # random-weight noise floor, cf.
+    # test_unet_int8_forward_close
+
+
+def test_runner_encoder_quant_gated_on_turbo():
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.runner import _encoder_quant
+
+    model = _tiny_infodiff()
+    x = jnp.zeros((2, 16, 16, 1))
+    v = jax.jit(
+        lambda: model.init(
+            {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+             "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)},
+            x, 0, method=type(model).loss_fn,
+        )
+    )()
+    cfg = Config(model="diff", dataset="mnist", a_dim=4, input_size=16)
+    assert _encoder_quant(cfg, model, v, x) is None
+    q = _encoder_quant(cfg.replace(turbo="int8"), model, v, x)
+    assert q is not None and len(jax.tree.leaves(q)) > 0
