@@ -351,7 +351,11 @@ class _GNParams(nn.Module):
     per-(batch, group) stats run in XLA, and the GN-apply/FiLM/SiLU/
     quantize chain moves into the conv kernel's registers, erasing the
     turbo tier's standalone quantize passes (24.4% of the round-2 trace,
-    BASELINE.md item 5)."""
+    BASELINE.md item 5). The kernel MEASURED SLOWER end-to-end (38 vs
+    100 samples/s — its in-register chain costs more than the erased
+    passes; dossier in the qconv module docstring), so use_fused_qconv
+    is opt-in and the default apply materializes the chain back into
+    the plain XLA int8 path."""
 
     fused_out_ch: Optional[int] = None
 
@@ -370,7 +374,8 @@ class _GNParams(nn.Module):
             shapes = [p.shape for p in plist]
             if (q8.calib_mode() == "int8"
                     and self.is_mutable_collection("quant")):
-                if fused_qconv_supported(shapes, self.fused_out_ch):
+                in_bytes = max(p.dtype.itemsize for p in plist)
+                if fused_qconv_supported(shapes, self.fused_out_ch, in_bytes):
                     self.variable(
                         "quant", "fused_qconv",
                         lambda: jnp.ones((), jnp.float32),
@@ -378,7 +383,9 @@ class _GNParams(nn.Module):
             elif (self.has_variable("quant", "fused_qconv")
                   and deterministic
                   and use_fused_qconv()
-                  and fused_qconv_supported(shapes, self.fused_out_ch)):
+                  and fused_qconv_supported(
+                      shapes, self.fused_out_ch,
+                      max(p.dtype.itemsize for p in plist))):
                 A, Brow = group_norm_affine(x, _GROUPS, scale, bias, films)
                 return _AffineChain(tuple(plist), A, Brow)
         if isinstance(x, (tuple, list)) and not films:

@@ -60,10 +60,35 @@ The weight-side prep (fold + quantize + pack) runs in plain XLA each
 apply — O(params) elementwise, hoisted/fused by XLA exactly like the
 existing inline weight quantization (ops/quant.py module docstring).
 
-Activation: default ON on TPU when the turbo tier is active and the
-shapes gate passes (every flagship conv site does);
-INFODIFF_DISABLE_FUSED_QCONV=1 reverts to the XLA int8 path, and the
-umbrella INFODIFF_DISABLE_PALLAS=1 also disables it.
+MEASURED VERDICT (v5e, round 3): the kernel LOSES — opt-in only
+(INFODIFF_ENABLE_FUSED_QCONV=1; FORCE for tests). This is the int8
+tier's futility dossier, the counterpart of the bf16 dossier in
+ops/pallas/shortcut_fused.py (full accounting: BASELINE.md item 7):
+
+- End-to-end: 38.0 vs 100.1 DDIM-100 samples/s (b128, INFODIFF_TURBO=
+  int8, this kernel on every flagship site vs the XLA int8 path).
+- Per site (50 invocations/dispatch, fetch-synced, vs the kernel's own
+  math in isolated XLA): 0.84-1.20x — a wash. In-model the XLA path is
+  2-3x faster still, because XLA fuses the bf16 chain into ONE
+  bandwidth-floor quantize pass (600-1100 GB/s) and runs the conv with
+  its library emitter, overlapped.
+- Ablation (the decisive split): a CHAINLESS variant of this kernel
+  (pre-quantized s8 in, same zpad/relayout/shifted-matmul/recombine)
+  sustains 162-188 int8 TOP/s — at parity with XLA's conv emitter. The
+  matmul core is NOT the problem. The in-kernel chain costs 0.6-1.7
+  ms/site (3-10x XLA's fused quantize pass) because every f32
+  intermediate (xwin, h, sigmoid, round) is a multi-hundred-vreg Mosaic
+  vector that spills through VMEM, and that VPU work serializes against
+  the MXU matmul (no cross-tile software pipelining).
+- Tile sweep (INFODIFF_QCONV_VMEM_MB 10 vs 13): <=20% movement, no sign
+  flip. Divide strength-reduction (h*(1/s) for h/s, manual exp-form
+  SiLU): <=6%, not the bottleneck.
+
+What WOULD be needed to win: software-pipelining the chain (VPU) of row
+tile t+1 against the matmul (MXU) of tile t inside one program, plus
+register-blocked chain evaluation — an upside bounded by the 24.4%
+quantize tax minus the kernel's own overheads, i.e. <=10% headline.
+Recorded here so the next attempt starts from measurement, not hope.
 """
 
 from __future__ import annotations
@@ -81,44 +106,65 @@ from jax.experimental.pallas import tpu as pltpu
 from infodiffusion_tpu.ops.quant import quantize_weight
 
 _LANE = 128
-_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB core
+
+
+def _vmem_budget() -> int:
+    """Planner budget against Mosaic's 16 MB scoped-VMEM stack limit.
+
+    The sum model in ``_vmem_need`` assumes no buffer reuse; hardware
+    measurement (v5e, the flagship f32 smoke shape) showed Mosaic's
+    stack accounting lands ~1.5x ABOVE even that pessimistic sum
+    (unrolled-tile liveness + relayout copies), so the default budget
+    keeps a 6 MB margin. INFODIFF_QCONV_VMEM_MB overrides for tuning."""
+    return int(os.environ.get("INFODIFF_QCONV_VMEM_MB", "10")) * 1024 * 1024
 
 
 def use_fused_qconv() -> bool:
-    """Default ON for real-TPU turbo runs; opt out with
-    INFODIFF_DISABLE_FUSED_QCONV=1 (just this kernel) or
-    INFODIFF_DISABLE_PALLAS=1 (the umbrella escape hatch)."""
+    """Opt-in via its OWN env var (INFODIFF_ENABLE_FUSED_QCONV=1), not
+    the INFODIFF_ENABLE_PALLAS umbrella: MEASURED 2.6x SLOWER end-to-end
+    than the XLA int8 path (38.0 vs 100.1 DDIM-100 samples/s) — see the
+    module docstring's futility dossier. Kept as a parity-tested
+    alternative path and the starting point for any future
+    software-pipelined attempt."""
     if os.environ.get("INFODIFF_DISABLE_FUSED_QCONV") == "1":
         return False
     if os.environ.get("INFODIFF_DISABLE_PALLAS") == "1":
         return False
     if os.environ.get("INFODIFF_FORCE_FUSED_QCONV") == "1":
         return True  # tests: exercise the kernel (interpret) off-TPU
-    return jax.default_backend() == "tpu"
+    return (os.environ.get("INFODIFF_ENABLE_FUSED_QCONV") == "1"
+            and jax.default_backend() == "tpu")
 
 
-def _vmem_need(nb, th, H, W, ctot, cout):
-    """Rough VMEM accounting for plan (nb, th): pipelined in/out value
-    blocks plus the per-tile matmul intermediates."""
+def _vmem_need(nb, th, H, W, ctot, cout, in_bytes=2):
+    """Pessimistic (no-reuse SUM) VMEM accounting for plan (nb, th):
+    pipelined in/out value blocks plus every named per-tile vector the
+    kernel materializes (Mosaic allocates stack for each; measurement
+    showed its liveness analysis reuses little across the unrolled tile
+    loop, so summing is the honest model)."""
     m = nb * (th + 2) * W
+    mp = nb * (th + 2) * (W + 2)
     k, n = 3 * ctot, 3 * cout
     return (
-        2 * nb * H * W * ctot * 2          # x pieces in (x2 pipeline)
-        + m * (W + 2) * 0 + m * k          # Xcat s8 (+ zpad temps ~same)
-        + m * k                            # zero-padded q windows, s8
+        2 * nb * H * W * ctot * in_bytes   # x pieces in (x2 pipeline)
+        + 2 * m * ctot * 4                 # f32 chain temps (xwin, h)
+        + mp * ctot                        # zero-padded q windows, s8
+        + 2 * m * k                        # Xcat scratch + its load, s8
         + m * n * 4                        # Y s32
+        + m * cout * 8                     # acc s32 + outv f32
         + 2 * nb * H * W * cout * 2        # out (x2 pipeline)
         + k * n                            # Kmat s8
         + 2 * 4 * cout                     # sw/bias
     )
 
 
-def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int):
+def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int, in_bytes=2):
     """Pick (NB, TH): batch-per-program and internal row-tile. Search
     every feasible combo and keep the largest matmul M = NB*(TH+2)*W
     that fits the VMEM budget (big M amortizes the 2-row halo recompute
     and keeps the MXU fed); None = no feasible plan (the caller falls
     back to the XLA int8 path)."""
+    budget = _vmem_budget()
     best, best_m = None, 0
     for nb in (32, 16, 8, 4, 2, 1):
         if B % nb:
@@ -131,7 +177,7 @@ def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int):
             m = nb * (th + 2) * W
             if m > 16384:
                 continue
-            if _vmem_need(nb, th, H, W, ctot, cout) > _VMEM_BUDGET:
+            if _vmem_need(nb, th, H, W, ctot, cout, in_bytes) > budget:
                 continue
             # prefer bigger M; tie-break toward fewer halo rows (big TH)
             score = m * 100 + th
@@ -140,10 +186,11 @@ def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int):
     return best
 
 
-def fused_qconv_supported(pieces_shapes, out_ch: int) -> bool:
+def fused_qconv_supported(pieces_shapes, out_ch: int, in_bytes=2) -> bool:
     """Shape gate. Covers every flagship conv1/2/3 site (stride-1,
     no-repeat, C in {64,128,192,256}); anything else falls back to the
-    XLA int8 path in nn/blocks.py."""
+    XLA int8 path in nn/blocks.py. ``in_bytes`` is the piece dtype's
+    itemsize (bf16 product path = 2; the f32 tests plan smaller tiles)."""
     if not pieces_shapes:
         return False
     lead = pieces_shapes[0][:-1]
@@ -157,16 +204,17 @@ def fused_qconv_supported(pieces_shapes, out_ch: int) -> bool:
         return False
     if H < 4 or W < 4 or W > 256:
         return False
-    return _tile_plan(B, H, W, ctot, out_ch) is not None
+    return _tile_plan(B, H, W, ctot, out_ch, in_bytes) is not None
 
 
 def _kernel(n_pieces, NB, TH, H, W, ctot, cout, out_dtype, *refs):
     """One grid program = NB batch samples, full H (looped in TH tiles).
 
-    refs layout: [x_1..x_n, A, B, s, Kmat, sw, bias, out]."""
+    refs layout: [x_1..x_n, A, B, s, Kmat, sw, bias, out, xcat_scratch]."""
     xs = refs[:n_pieces]
     a_ref, b_ref, s_ref, kmat_ref, swb_ref = refs[n_pieces : n_pieces + 5]
-    out_ref = refs[-1]
+    out_ref = refs[-2]
+    xcat_ref = refs[-1]
 
     kmat = kmat_ref[:]  # (3*ctot, 3*cout) int8, resident across tiles
     swb = swb_ref[:].astype(jnp.float32)  # (2, cout): [sw; bias]
@@ -199,8 +247,10 @@ def _kernel(n_pieces, NB, TH, H, W, ctot, cout, out_dtype, *refs):
             lo = max(0, r0)
             hi = min(H, r0 + TH + 2)
             xwin = xs[i][:, lo:hi, :, :].astype(jnp.float32)
-            aw = a_ref[:, off : off + ci].astype(jnp.float32)
-            bw = b_ref[:, off : off + ci].astype(jnp.float32)
+            # A/B ride as [NB, 1, 1, Ctot] (the 4-D layout keeps the
+            # Mosaic last-two-dims tiling rule satisfied at every NB)
+            aw = a_ref[:, 0, 0, off : off + ci].astype(jnp.float32)
+            bw = b_ref[:, 0, 0, off : off + ci].astype(jnp.float32)
             h = xwin * aw[:, None, None, :] + bw[:, None, None, :]
             h = h * jax.nn.sigmoid(h)  # SiLU, f32
             si = s_ref[0, i]
@@ -209,11 +259,20 @@ def _kernel(n_pieces, NB, TH, H, W, ctot, cout, out_dtype, *refs):
             bot = (TH + 2) - (hi - lo) - top
             qrows.append(_zpad(q, top, bot))  # (NB, TH+2, W+2, ci)
             off += ci
-        # --- Xcat: width taps into K ---
-        xcat = jnp.concatenate(
-            [q[:, :, dw : dw + W, :] for dw in range(3) for q in qrows],
-            axis=-1,
-        )  # (NB, TH+2, W, 3*ctot) — piece-major inside each dw block
+        # --- Xcat: width taps into K, assembled through a VMEM scratch.
+        # The dw-shifted slices carry sublane offsets 0/1/2, and Mosaic's
+        # tpu.concatenate refuses lane concats whose inputs disagree on a
+        # non-concat-dim offset; a store relayouts the value instead (the
+        # canonical realign-via-memory move — measured supported at every
+        # flagship lane offset, incl. the 64-multiples of ctot=192).
+        off = 0
+        for i, q in enumerate(qrows):
+            ci = q.shape[-1]
+            for dw in range(3):
+                o0 = dw * ctot + off
+                xcat_ref[:, :, :, o0 : o0 + ci] = q[:, :, dw : dw + W, :]
+            off += ci
+        xcat = xcat_ref[:]  # (NB, TH+2, W, 3*ctot), piece-major per dw
         m = NB * (TH + 2) * W
         y = jnp.dot(
             xcat.reshape(m, 3 * ctot), kmat,
@@ -280,8 +339,9 @@ def qconv_fused(
     cs = [int(p.shape[-1]) for p in pieces]
     ctot = sum(cs)
     cout = int(kernel.shape[-1])
-    plan = _tile_plan(Bt, H, W, ctot, cout)
-    assert plan is not None, (Bt, H, W, ctot, cout)
+    in_bytes = max(p.dtype.itemsize for p in pieces)
+    plan = _tile_plan(Bt, H, W, ctot, cout, in_bytes)
+    assert plan is not None, (Bt, H, W, ctot, cout, in_bytes)
     NB, TH = plan
 
     s_act = jnp.maximum(absmax.astype(jnp.float32).reshape(n), 1e-30) / 127.0
@@ -298,9 +358,9 @@ def qconv_fused(
                      memory_space=pltpu.VMEM)
         for c in cs
     ] + [
-        pl.BlockSpec((NB, ctot), lambda i: (i, 0),
+        pl.BlockSpec((NB, 1, 1, ctot), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),  # A
-        pl.BlockSpec((NB, ctot), lambda i: (i, 0),
+        pl.BlockSpec((NB, 1, 1, ctot), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),  # B
         pl.BlockSpec((1, n), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),  # s_act
@@ -316,6 +376,7 @@ def qconv_fused(
         out_specs=pl.BlockSpec((NB, H, W, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bt, H, W, cout), out_dtype),
+        scratch_shapes=[pltpu.VMEM((NB, TH + 2, W, 3 * ctot), jnp.int8)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * Bt * H * W * 9 * ctot * cout,
@@ -326,8 +387,8 @@ def qconv_fused(
         ),
     )(
         *pieces,
-        A.astype(jnp.float32),
-        B.astype(jnp.float32),
+        A.astype(jnp.float32).reshape(Bt, 1, 1, ctot),
+        B.astype(jnp.float32).reshape(Bt, 1, 1, ctot),
         s_act.reshape(1, n),
         kmat,
         swb,

@@ -167,6 +167,14 @@ def test_gate_covers_flagship_and_rejects_odd():
 
 
 def test_env_gates(monkeypatch):
+    for var in ("INFODIFF_FORCE_FUSED_QCONV", "INFODIFF_ENABLE_FUSED_QCONV",
+                "INFODIFF_DISABLE_FUSED_QCONV", "INFODIFF_DISABLE_PALLAS"):
+        monkeypatch.delenv(var, raising=False)
+    # measured-slower kernel: OPT-IN only (and TPU-only even when enabled)
+    assert not use_fused_qconv()
+    monkeypatch.setenv("INFODIFF_ENABLE_FUSED_QCONV", "1")
+    assert not use_fused_qconv()  # CPU backend: still off
+    monkeypatch.delenv("INFODIFF_ENABLE_FUSED_QCONV")
     monkeypatch.setenv("INFODIFF_FORCE_FUSED_QCONV", "1")
     assert use_fused_qconv()
     monkeypatch.setenv("INFODIFF_DISABLE_FUSED_QCONV", "1")

@@ -201,9 +201,12 @@ def main():
     sizes = [os.path.getsize(p) for p in paths[:2000]]
     print(f"  mean file size {np.mean(sizes) / 1024:.1f} KB", flush=True)
 
-    print("[2/3] native decode throughput", flush=True)
-    dec = measure_decode(paths, args.decode_limit)
-    print(json.dumps(dec), flush=True)
+    if args.decode_limit > 0:
+        print("[2/3] native decode throughput", flush=True)
+        dec = measure_decode(paths, args.decode_limit)
+        print(json.dumps(dec), flush=True)
+    else:  # --decode-limit 0: corpus-generation-only run
+        dec = {"native_decode_imgs_per_sec_per_core": float("nan")}
 
     e2e = {}
     if not args.skip_e2e:
