@@ -66,6 +66,17 @@ class ArrayDataset:
         a = self.attrs[idx] if self.attrs is not None else None
         return x, a
 
+    def u8_transfer_ok(self) -> bool:
+        """True when pixels follow the plain u8/pm1 contract, so the
+        loader may ship uint8 and normalize on device (4x fewer H2D
+        bytes); False for float latents and dsprites' raw 0/1."""
+        return self.normalize == "pm1" and self.images.dtype == np.uint8
+
+    def get_batch_u8(self, idx: np.ndarray):
+        """Raw uint8 rows (the same pixels get_batch normalizes)."""
+        a = self.attrs[idx] if self.attrs is not None else None
+        return self.images[idx], a
+
 
 @dataclasses.dataclass
 class ImageFolderDataset:
@@ -127,7 +138,7 @@ class ImageFolderDataset:
             img = img.resize((self.size, self.size), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
 
-    def get_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    def _decode_u8(self, idx: np.ndarray) -> np.ndarray:
         nat = self._native_batcher()
         if nat is not None:
             idx = np.asarray(idx)
@@ -140,9 +151,20 @@ class ImageFolderDataset:
                 x[pos] = self._load_one(self.files[int(idx[pos])])
         else:
             x = np.stack([self._load_one(self.files[i]) for i in idx])
-        x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return x
+
+    def get_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        x = self._decode_u8(idx).astype(np.float32) / 255.0 * 2.0 - 1.0
         a = self.attrs[idx] if self.attrs is not None else None
         return x, a
+
+    def u8_transfer_ok(self) -> bool:
+        return self.normalize == "pm1"
+
+    def get_batch_u8(self, idx: np.ndarray):
+        """Raw decoded uint8 (the same pixels get_batch normalizes)."""
+        a = self.attrs[idx] if self.attrs is not None else None
+        return self._decode_u8(idx), a
 
 
 class LatentDataset(ArrayDataset):

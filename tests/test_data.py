@@ -46,6 +46,41 @@ def test_loader_drop_last_and_normalization():
     np.testing.assert_allclose(b0, -1.0)  # 0 -> -1.0
 
 
+def test_loader_u8_transfer(monkeypatch):
+    """The u8 H2D transfer path (device-side pm1 normalize) must match
+    the host-normalize path within one ulp of the pre-shift value (XLA
+    reciprocal-multiplies the /255; <=1.2e-7 absolute), engage only on
+    u8/pm1 datasets, and respect the INFODIFF_HOST_NORMALIZE escape."""
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, size=(12, 4, 4, 3)).astype(np.uint8)
+    attrs = rng.randint(0, 2, size=(12, 5)).astype(np.int32)
+    ds = ArrayDataset(images=imgs, attrs=attrs)
+    assert ds.u8_transfer_ok()
+
+    def batches(with_attrs):
+        dl = DataLoader(ds, batch_size=4, flip=True, seed=9,
+                        with_attrs=with_attrs)
+        return list(dl)
+
+    monkeypatch.delenv("INFODIFF_HOST_NORMALIZE", raising=False)
+    u8_out = batches(True)
+    monkeypatch.setenv("INFODIFF_HOST_NORMALIZE", "1")
+    host_out = batches(True)
+    assert len(u8_out) == len(host_out) == 3
+    for (xu, au), (xh, ah) in zip(u8_out, host_out):
+        xu, xh = np.asarray(xu), np.asarray(xh)
+        assert xu.dtype == xh.dtype == np.float32
+        np.testing.assert_allclose(xu, xh, rtol=0, atol=1.3e-7)
+        np.testing.assert_array_equal(np.asarray(au), np.asarray(ah))
+    # float/raw datasets never take the u8 path
+    lat = ArrayDataset(images=rng.randn(8, 6).astype(np.float32),
+                       normalize="raw")
+    assert not lat.u8_transfer_ok()
+    monkeypatch.delenv("INFODIFF_HOST_NORMALIZE")
+    b = np.asarray(next(iter(DataLoader(lat, batch_size=4))))
+    np.testing.assert_array_equal(b, lat.images[:4])
+
+
 def test_loader_shuffle_determinism_and_flip():
     imgs = np.arange(8 * 4 * 4, dtype=np.uint8).reshape(8, 4, 4, 1)
     ds = ArrayDataset(images=imgs)
@@ -58,10 +93,12 @@ def test_loader_shuffle_determinism_and_flip():
     bf = np.asarray(next(iter(df)))
     plain = ds.get_batch(np.arange(8))[0]
     flipped = plain[:, :, ::-1, :]
+    # atol covers the u8-transfer path's one-ulp reciprocal divergence
+    close = lambda a, b: np.allclose(a, b, rtol=0, atol=1.3e-7)
     for i in range(8):
-        assert np.allclose(bf[i], plain[i]) or np.allclose(bf[i], flipped[i])
+        assert close(bf[i], plain[i]) or close(bf[i], flipped[i])
     assert any(
-        np.allclose(bf[i], flipped[i]) and not np.allclose(bf[i], plain[i])
+        close(bf[i], flipped[i]) and not close(bf[i], plain[i])
         for i in range(8)
     )
 

@@ -24,15 +24,18 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_sampler"
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
     steps = int(os.environ.get("INFODIFF_BENCH_STEPS", "100"))
+    # INFODIFF_BENCH_SIZE: same knob as bench.py (128 = the
+    # beyond-reference datapoint's attribution trace)
+    size = int(os.environ.get("INFODIFF_BENCH_SIZE", "64"))
 
     from infodiffusion_tpu.diffusion import make_schedule, strided_ddim_loop
     from infodiffusion_tpu.models import InfoDiff
 
     model = InfoDiff(
-        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        T=1000, a_dim=256, shape=(3, size, size), unets_channels=64,
         encoder_channels=64, mmd_weight=0.1, epochs=50, dtype=jnp.bfloat16,
     )
-    x = jnp.zeros((1, 64, 64, 3))
+    x = jnp.zeros((1, size, size, 3))
     t0 = jnp.zeros((1,), jnp.int32)
     a0 = jnp.zeros((1, 256))
     rngs = {
@@ -44,7 +47,7 @@ def main():
     if os.environ.get("INFODIFF_TURBO", ""):
         from infodiffusion_tpu.ops.quant import calibrate
 
-        variables = calibrate(model, variables, (64, 64, 3), a_dim=256,
+        variables = calibrate(model, variables, (size, size, 3), a_dim=256,
                               T=1000,
                               mode=os.environ["INFODIFF_TURBO"])
     sched = make_schedule(1e-5, 1e-2, 1000)
@@ -57,7 +60,7 @@ def main():
         )
 
     key = jr.PRNGKey(0)
-    xT = jr.normal(key, (batch, 64, 64, 3))
+    xT = jr.normal(key, (batch, size, size, 3))
     a = jr.normal(key, (batch, 256))
     float(jnp.mean(sample(variables, xT, a, key)))  # compile + warmup
     with jax.profiler.trace(out):
