@@ -92,10 +92,12 @@ class DataLoader:
 
     def _u8_transfer(self) -> bool:
         """Ship uint8 across H2D and run the pm1 normalize on device —
-        4x fewer transfer bytes, identical f32 values. Measured on the
-        200k-JPEG rehearsal corpus: the producer's per-batch f32
-        device_put cost ~110 ms/batch and halved loader throughput
-        (1218 vs 2571 imgs/s); u8 transfer removes ~3/4 of that.
+        4x fewer transfer bytes, f32 values within 1 ulp. Measured on
+        the 200k-JPEG rehearsal corpus (v5e via the axon tunnel): the
+        producer's per-batch f32 device_put costs ~110 ms/batch;
+        loader-only A/B u8 1717.9 vs host-f32 465.3 imgs/s (3.7x), and
+        the save_latent stage-2 e2e (decode || jitted Encoder) 1958.5
+        vs 341.2 imgs/s (5.7x — STATUS.md round-3 item 7).
         INFODIFF_HOST_NORMALIZE=1 reverts to host-side f32 batches."""
         if os.environ.get("INFODIFF_HOST_NORMALIZE") == "1":
             return False

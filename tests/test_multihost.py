@@ -85,6 +85,27 @@ def test_loader_under_mesh_uses_global_assembly():
         np.testing.assert_array_equal(got, want)
 
 
+def test_loader_u8_normalize_preserves_mesh_sharding():
+    """The device-side pm1 normalize (u8 H2D path, PARITY.md D21) must
+    keep the batch sharded over the data axis — a regression that
+    replicated it would multiply per-device batch memory by the mesh
+    size silently (jit of an elementwise op preserves input sharding;
+    this pins that contract for the loader's output)."""
+    from infodiffusion_tpu.data.datasets import ArrayDataset
+    from infodiffusion_tpu.data.loader import DataLoader
+
+    imgs = np.random.RandomState(1).randint(
+        0, 256, (32, 8, 8, 1), dtype=np.uint8
+    )
+    ds = ArrayDataset(images=imgs)
+    assert ds.u8_transfer_ok()
+    mesh = make_mesh(8)
+    want = batch_sharding(mesh)
+    for b in DataLoader(ds, 16, mesh=mesh):
+        assert b.dtype == jnp.float32
+        assert b.sharding.is_equivalent_to(want, b.ndim), b.sharding
+
+
 def test_maybe_initialize_noop_without_request(monkeypatch):
     monkeypatch.delenv("INFODIFF_MULTIHOST", raising=False)
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
