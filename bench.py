@@ -82,6 +82,25 @@ def vs_base(sps, size):
     return round(sps / A100_DDIM100_EST, 3) if size == 64 else None
 
 
+def resolve_bench_turbo():
+    """INFODIFF_TURBO for bench modes: None = unset (dual-tier default
+    where supported), '' = pinned bf16, 'int8'/'int8x' = that tier.
+    'off' maps to '' — the documented way to defeat an exported
+    INFODIFF_TURBO (samplers._resolve_turbo); unknown names raise so a
+    typo never mislabels the metric after a tier that does not exist."""
+    from infodiffusion_tpu.ops.quant import MODES
+
+    turbo = os.environ.get("INFODIFF_TURBO")
+    if turbo == "off":
+        turbo = ""
+    if turbo is not None and turbo not in ("",) + MODES:
+        raise SystemExit(
+            f"unknown INFODIFF_TURBO {turbo!r} (expected '', 'off' or "
+            f"one of {MODES})"
+        )
+    return turbo
+
+
 def dual_tier_record(turbo_sps, bf16_sps):
     """The FROZEN default-headline schema (64px, INFODIFF_TURBO unset):
     int8 turbo as the value, bf16 parity as a sub-object, plus the
@@ -260,8 +279,8 @@ def encode_main():
     x = jr.normal(key, (batch, size, size, 3))
     # INFODIFF_TURBO=int8 runs the Encoder conv bodies W8A8 (the same
     # collection-presence switch the samplers use; runner._encoder_quant
-    # is the product path)
-    turbo = os.environ.get("INFODIFF_TURBO", "")
+    # is the product path); 'off' = explicit bf16, like _resolve_turbo
+    turbo = resolve_bench_turbo() or ""
     if turbo:
         from infodiffusion_tpu.ops.quant import calibrate_encoder
 
@@ -373,21 +392,14 @@ def main():
         "params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
         "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3),
     }
-    base_variables = jax.jit(lambda: model.init(rngs, x, t0, a0))()
-    from infodiffusion_tpu.ops.quant import MODES as _TURBO_MODES
-
     # INFODIFF_TURBO pins one tier ("" = bf16 parity, "int8"/"int8x" =
     # that tier, each with a tier-suffixed metric name). UNSET = the
     # default dual-tier headline: bf16 parity + int8 turbo in one line
     # (module docstring) — at the 64px flagship only; non-64px
-    # beyond-reference datapoints stay single-tier bf16.
-    turbo_env = os.environ.get("INFODIFF_TURBO")
-    if turbo_env is not None and turbo_env not in ("",) + _TURBO_MODES:
-        raise SystemExit(
-            f"unknown INFODIFF_TURBO {turbo_env!r} (expected '' or one of "
-            f"{_TURBO_MODES}; an unvalidated name here would label the "
-            "metric after a tier that does not exist)"
-        )
+    # beyond-reference datapoints stay single-tier bf16. Resolved
+    # before the (expensive) model init so a typo fails fast.
+    turbo_env = resolve_bench_turbo()
+    base_variables = jax.jit(lambda: model.init(rngs, x, t0, a0))()
     sched = make_schedule(1e-5, 1e-2, 1000)
 
     def eps_fn(variables):

@@ -151,10 +151,11 @@ def _configure_sp(cfg: Config):
         else:
             # engages, but is it profitable? Each ring hop must have
             # enough chunk compute to hide its ppermute transfer; on
-            # v5e that needs ~2k tokens per device (bf16 peak / ICI
-            # bandwidth — the arithmetic is in docs/PARALLELISM.md).
+            # v5e the speed-of-light bound is peak/ICI ~ 4.4k tokens
+            # per device (~2.2k at the ~50% MFU these narrow shapes
+            # reach — arithmetic in docs/PARALLELISM.md).
             profit_tokens = int(
-                os.environ.get("INFODIFF_SP_PROFIT_TOKENS", "2048")
+                os.environ.get("INFODIFF_SP_PROFIT_TOKENS", "4096")
             )
             per_device = max_tokens // cfg.sp
             if per_device < profit_tokens:

@@ -87,6 +87,29 @@ def test_bench_headline_schema_frozen():
     assert r128["metric"] == "ddim100_samples_per_sec_128px"
     assert r128["vs_baseline"] is None
 
+    # INFODIFF_TURBO=off must pin the bf16 tier in EVERY bench mode
+    # ('off' is the documented way to defeat an exported INFODIFF_TURBO,
+    # samplers._resolve_turbo) — it used to crash encode_main; a typo
+    # must fail fast instead of mislabeling the metric
+    import pytest
+
+    for env, want in ((None, None), ("", ""), ("off", ""),
+                      ("int8", "int8"), ("int8x", "int8x")):
+        if env is None:
+            os.environ.pop("INFODIFF_TURBO", None)
+        else:
+            os.environ["INFODIFF_TURBO"] = env
+        try:
+            assert bench.resolve_bench_turbo() == want, env
+        finally:
+            os.environ.pop("INFODIFF_TURBO", None)
+    os.environ["INFODIFF_TURBO"] = "int9"
+    try:
+        with pytest.raises(SystemExit):
+            bench.resolve_bench_turbo()
+    finally:
+        os.environ.pop("INFODIFF_TURBO", None)
+
 
 def test_example_scripts_parse_help():
     """examples/*.py must import cleanly and expose the standard CLI

@@ -142,10 +142,10 @@ def test_configure_sp_warns_when_threshold_unreachable():
 
 def test_configure_sp_warns_when_latency_bound():
     """--sp that ENGAGES but leaves too few tokens per device runs
-    latency-bound (ring hops can't hide under chunk compute below ~2k
-    tokens/device — docs/PARALLELISM.md); the runner must say so.
-    128px at attn level 2 -> 1024 tokens >= the engage threshold, but
-    1024/4 = 256 tokens/device << 2048."""
+    latency-bound (ring hops can't hide under chunk compute below the
+    ~4.4k tokens/device speed-of-light bound — docs/PARALLELISM.md);
+    the runner must say so. 128px at attn level 2 -> 1024 tokens >=
+    the engage threshold, but 1024/4 = 256 tokens/device << 4096."""
     from infodiffusion_tpu.config import Config
     from infodiffusion_tpu.runner import _configure_sp
 

@@ -205,8 +205,9 @@ def main():
         print("[2/3] native decode throughput", flush=True)
         dec = measure_decode(paths, args.decode_limit)
         print(json.dumps(dec), flush=True)
-    else:  # --decode-limit 0: corpus-generation-only run
-        dec = {"native_decode_imgs_per_sec_per_core": float("nan")}
+    else:  # --decode-limit 0: skip the decode stage (None, not NaN —
+        # json.dumps emits bare NaN, which is not legal JSON)
+        dec = {"native_decode_imgs_per_sec_per_core": None}
 
     e2e = {}
     if not args.skip_e2e:
@@ -216,14 +217,17 @@ def main():
         print(json.dumps(e2e), flush=True)
 
     per_core = dec["native_decode_imgs_per_sec_per_core"]
-    cores_needed = args.encode_rate / max(per_core, 1e-9)
+    cores_needed = (
+        round(args.encode_rate / max(per_core, 1e-9), 1)
+        if per_core is not None else None
+    )
     verdict = {
         "corpus_files": len(paths),
         "mean_jpeg_kb": round(float(np.mean(sizes)) / 1024, 1),
         "host_cores": os.cpu_count(),
         "native_decode_imgs_per_sec_per_core": per_core,
         "device_encode_imgs_per_sec": args.encode_rate,
-        "cores_for_compute_bound": round(cores_needed, 1),
+        "cores_for_compute_bound": cores_needed,
         **e2e,
     }
     print("VERDICT " + json.dumps(verdict), flush=True)
