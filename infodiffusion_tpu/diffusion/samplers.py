@@ -545,6 +545,13 @@ class LatentDiffusionProcess:
         self.params = params
         self.mesh = mesh
         self.turbo = _resolve_turbo(cfg, turbo)
+        # the latent tier has exactly ONE quantized leg — the int8
+        # weight stream below; 'int8x' (an image-sampler residual-read
+        # variant, PARITY.md D19) has no distinct latent behavior, so
+        # normalize it here to keep the bench metric series
+        # ('..._int8turbo') from forking on identical execution
+        if self.turbo == "int8x":
+            self.turbo = "int8"
         from infodiffusion_tpu.diffusion.schedule import make_schedule
 
         self.sched = make_schedule(cfg.beta1, cfg.betaT, cfg.diffusion_steps)

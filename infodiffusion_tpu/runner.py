@@ -237,13 +237,22 @@ def _eval_encoder(cfg: Config, model):
     return _ENCODE_CACHE[key]
 
 
+# calibrated quant collections, keyed like _ENCODE_CACHE plus the
+# variables object identity: _encode_batch callers reuse one
+# (model, variables) pair for a whole eval mode, and re-calibrating per
+# batch would cost an extra jitted forward AND make each batch's int8
+# scales batch-dependent (unlike _encode_dataset, which calibrates once
+# on its first batch)
+_ENCODER_QUANT_CACHE: dict = {}
+
+
 def _encoder_quant(cfg: Config, model, variables, x):
     """Calibrated 'quant' collection for the --turbo encode tier, or
     None when turbo is off. Calibrates on ``x`` — a REAL data batch (the
     sampler tier calibrates on noise because its inputs are trajectory
     states; the encoder sees images, so data-conditioned scales are both
-    available and tighter). One jitted forward, negligible next to the
-    full-dataset encode that follows."""
+    available and tighter). One jitted forward on the first call per
+    (model, variables, mode); reused afterwards."""
     from infodiffusion_tpu.diffusion.samplers import _resolve_turbo
 
     mode = _resolve_turbo(cfg, None)
@@ -251,7 +260,12 @@ def _encoder_quant(cfg: Config, model, variables, x):
         return None
     from infodiffusion_tpu.ops.quant import calibrate_encoder
 
-    return calibrate_encoder(model, variables, x=x, mode=mode)
+    key = (model, mode, id(variables))
+    if key not in _ENCODER_QUANT_CACHE:
+        _ENCODER_QUANT_CACHE[key] = calibrate_encoder(
+            model, variables, x=x, mode=mode
+        )
+    return _ENCODER_QUANT_CACHE[key]
 
 
 def _encode_dataset(cfg: Config, model, variables):
@@ -378,10 +392,23 @@ def train(cfg: Config, latent: bool = False):
             state = replicate(mesh, state)
     if use_pp:
         from infodiffusion_tpu.parallel.pp import (
-            make_pp_train_step, make_stage_mesh,
+            make_dp_stage_mesh, make_pp_train_step, make_stage_mesh,
         )
 
-        pp_mesh = make_stage_mesh(cfg.pp)
+        # dp x pp: when more devices than stages are available, the
+        # leftover factor becomes data-parallel pipeline replicas
+        # (disable with INFODIFF_PP_NO_DP=1 to pin the round-2 1-D mesh)
+        n_dev = jax.device_count()
+        dp_width = (
+            n_dev // cfg.pp
+            if (n_dev % cfg.pp == 0
+                and not os.environ.get("INFODIFF_PP_NO_DP"))
+            else 1
+        )
+        pp_mesh = (
+            make_dp_stage_mesh(dp_width, cfg.pp)
+            if dp_width > 1 else make_stage_mesh(cfg.pp)
+        )
         microbatches = int(
             os.environ.get("INFODIFF_PP_MICROBATCHES", str(cfg.pp))
         )
@@ -395,12 +422,21 @@ def train(cfg: Config, latent: bool = False):
                 f"pipeline microbatch count {microbatches} (--pp "
                 f"{cfg.pp}; override with INFODIFF_PP_MICROBATCHES)"
             )
+        if dp_width > 1 and (cfg.batch_size // microbatches) % dp_width:
+            raise ValueError(
+                f"microbatch size {cfg.batch_size // microbatches} must "
+                f"be divisible by the data-parallel width {dp_width} "
+                f"(dp x pp mesh; set INFODIFF_PP_NO_DP=1 to disable the "
+                f"data axis)"
+            )
         step_fn = make_pp_train_step(
             model, tx, pp_mesh, microbatches, ema_decay=cfg.ema_decay
         )
         print(
             f"[pp] GPipe latent training: {cfg.pp} stages x "
             f"{microbatches} microbatches"
+            + (f" x {dp_width} data-parallel replicas"
+               if dp_width > 1 else "")
         )
     else:
         step_fn = make_train_step(model, tx, ema_decay=cfg.ema_decay)

@@ -1057,6 +1057,207 @@ def test_optimizer_step_matches_torch_adamw(ref):
         )
 
 
+def test_multistep_latent_training_trajectory_matches_reference(ref):
+    """TWELVE consecutive optimizer steps of the latent Diff across an
+    epoch boundary — each side computes its OWN gradients (unlike
+    test_optimizer_step_matches_torch_adamw, which injects torch's), so
+    this pins the INTEGRATED loop the reference runs per epoch
+    (run.py:188-212: loss -> backward -> clip_grad_norm_(1.0) ->
+    AdamW.step, scheduler.step() at epoch end): per-step losses AND
+    final parameters must agree after forward/backward roundoff
+    accumulates for 12 steps. Draws (t, eps) are injected identically;
+    the 2x6 step layout crosses the epoch-0 -> epoch-1 LR handoff
+    (base -> 2*base), which both schedules produce exactly (the
+    torch-2.x cosine warp of PARITY.md D18 only starts at epoch 2, kept
+    out of range here on purpose)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from infodiffusion_tpu.interop import export_torch_state_dict
+    from infodiffusion_tpu.models import Diff
+    from infodiffusion_tpu.train.state import make_optimizer
+
+    torch = ref.torch
+    _sys = sys
+    _sys.path.insert(0, REF)
+    try:
+        import utils as ref_utils
+    finally:
+        _sys.path.remove(REF)
+
+    LR, EPOCHS, SPE = 1e-3, 20, 6  # 2 epochs x 6 steps, big-ish LR so
+    # parameters actually move (total |Δθ| ~ 12*2e-3 per element)
+    args = _args(is_latent=True, epochs=EPOCHS)
+    # .eval() = dropout off (matching deterministic=True on our side);
+    # autograd still runs — eval only flips module behavior flags
+    rm = ref.models.Diff(args, "cpu", shape=(1, A_DIM, A_DIM)).eval()
+
+    model = Diff(T=T, shape=(1, A_DIM, A_DIM), is_latent=True)
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, A_DIM)), 0,
+                           method=Diff.loss_fn),
+        _sd(rm),
+    )
+    params = v["params"]
+    tx = make_optimizer(LR, epochs=EPOCHS, steps_per_epoch=SPE)
+    opt_state = tx.init(params)
+
+    opt = torch.optim.AdamW(rm.parameters(), lr=LR, weight_decay=1e-5)
+    cos = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=EPOCHS, eta_min=0, last_epoch=-1
+    )
+    warm = ref_utils.GradualWarmupScheduler(
+        opt, multiplier=2.0, warm_epoch=1, after_scheduler=cos
+    )
+
+    @jax.jit
+    def our_step(params, opt_state, z, t_arr, eps):
+        def loss_fn(p):
+            loss, _aux = model.apply(
+                {"params": p}, z, 0, method=Diff.loss_fn,
+                deterministic=True, t=t_arr, eps=eps,
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(41)
+    losses_t, losses_j = [], []
+    for epoch in range(2):
+        for _ in range(SPE):
+            z = rng.randn(B, A_DIM).astype(np.float32)
+            t_arr = rng.randint(0, T, (B,)).astype(np.int64)
+            eps = rng.randn(B, A_DIM).astype(np.float32)
+
+            opt.zero_grad()
+            with _forced_draws(torch, t=t_arr, randn_arrays=[eps]):
+                loss = rm.loss_fn(args, torch.from_numpy(z))
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(rm.parameters(), 1.0)
+            opt.step()
+            losses_t.append(float(loss.detach()))
+
+            params, opt_state, lj = our_step(
+                params, opt_state, jnp.asarray(z), jnp.asarray(t_arr),
+                jnp.asarray(eps),
+            )
+            losses_j.append(float(lj))
+        warm.step()  # reference steps the scheduler at epoch end
+
+    np.testing.assert_allclose(losses_t, losses_j, atol=3e-4, rtol=3e-4)
+    ours = export_torch_state_dict(model, params)
+    want = _sd(rm)
+    for k in ours:
+        np.testing.assert_allclose(
+            want[k], ours[k], atol=1e-5, rtol=1e-4,
+            err_msg=f"12-step parameter divergence at {k}",
+        )
+
+
+def test_multistep_infodiff_training_trajectory_matches_reference(ref):
+    """TEN consecutive optimizer steps of the FULL InfoDiff composite
+    loss (denoise + recon + MMD + KLD, both regularizers) — per-step
+    losses and final parameters vs the live torch loop on identical
+    injected draws (t, eps, reparam, prior) with dropout off. This is
+    the integrated-trajectory counterpart of the per-step loss/gradient/
+    optimizer parity tests: schedule indexing, state threading, and
+    roundoff accumulation across steps are what it adds.
+    (Reference loop: run.py:188-212; loss: models.py:632-696.)"""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from infodiffusion_tpu.interop import export_torch_state_dict
+    from infodiffusion_tpu.models import InfoDiff
+    from infodiffusion_tpu.train.state import make_optimizer
+
+    torch = ref.torch
+    N_STEPS, LR = 10, 1e-3
+    args = _args(mmd_weight=0.1, kld_weight=1e-3)
+    # .eval() = dropout off, matching deterministic=True on our side
+    rm = ref.models.InfoDiff(args, "cpu", shape=(1, SIZE, SIZE)).eval()
+
+    model = InfoDiff(
+        T=T, a_dim=A_DIM, shape=(1, SIZE, SIZE), unets_channels=CH,
+        encoder_channels=CH, epochs=2, mmd_weight=0.1, kld_weight=1e-3,
+    )
+    v = _load(
+        model,
+        lambda: model.init(_rngs(), jnp.zeros((B, SIZE, SIZE, 1)), 0,
+                           method=InfoDiff.loss_fn),
+        _sd(rm),
+    )
+    params = v["params"]
+    tx = make_optimizer(LR, epochs=2, steps_per_epoch=N_STEPS)
+    opt_state = tx.init(params)
+    opt = torch.optim.AdamW(rm.parameters(), lr=LR, weight_decay=1e-5)
+
+    @jax.jit
+    def our_step(params, opt_state, x, t_arr, eps, rep, prior):
+        def loss_fn(p):
+            loss, _aux = model.apply(
+                {"params": p}, x, 0, method=InfoDiff.loss_fn,
+                deterministic=True, t=t_arr, eps=eps,
+                reparam_eps=rep, prior_samples=prior,
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(42)
+    losses_t, losses_j = [], []
+    for _ in range(N_STEPS):
+        x = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+        t_arr = rng.randint(0, T, (B,)).astype(np.int64)
+        eps = rng.randn(B, 1, SIZE, SIZE).astype(np.float32)
+        rep = rng.randn(B, A_DIM).astype(np.float32)
+        prior = rng.randn(B, A_DIM).astype(np.float32)
+
+        opt.zero_grad()
+        with _forced_draws(torch, t=t_arr, randn_arrays=[eps, rep, prior]):
+            loss = rm.loss_fn(args, torch.from_numpy(x), curr_epoch=0)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(rm.parameters(), 1.0)
+        opt.step()
+        losses_t.append(float(loss.detach()))
+
+        params, opt_state, lj = our_step(
+            params, opt_state, jnp.asarray(_nhwc(x)), jnp.asarray(t_arr),
+            jnp.asarray(_nhwc(eps)), jnp.asarray(rep), jnp.asarray(prior),
+        )
+        losses_j.append(float(lj))
+
+    np.testing.assert_allclose(losses_t, losses_j, atol=5e-4, rtol=5e-4)
+    ours = export_torch_state_dict(model, params)
+    want = _sd(rm)
+    dead = {k for k, p in rm.named_parameters() if p.grad is None}
+    for k in ours:
+        if k in dead:  # dead crossattn params never update on either side
+            continue
+        # Tolerance is a fraction of the Adam MOVEMENT BUDGET lr*N =
+        # 1e-2: Adam normalizes every update to ~lr (Δθ = lr·m̂/√v̂), so
+        # for params whose gradients sit near the f32 roundoff floor
+        # (e.g. GN biases fed by the vanishing recon term) the
+        # cross-framework grad differences are O(1) RELATIVE and the
+        # normalized update direction itself wobbles — observed drift up
+        # to 2.4e-4 (2.4% of budget) on such a bias at 10 steps, while
+        # well-conditioned weights stay within ~3e-5. 5e-4 (5% of
+        # budget) still catches every integration failure this test
+        # exists for (wrong LR indexing, moment/decay bugs, state
+        # threading); the per-step LOSS assertion above is the sharp
+        # numeric pin.
+        np.testing.assert_allclose(
+            want[k], ours[k], atol=5e-4, rtol=1e-3,
+            err_msg=f"10-step parameter divergence at {k}",
+        )
+
+
 def test_lr_schedule_matches_reference_scheduler(ref):
     """Per-epoch learning rates from the ACTUAL reference scheduler
     stack (GradualWarmupScheduler(multiplier=2, warm_epoch=1) wrapping

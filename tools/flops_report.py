@@ -54,6 +54,33 @@ def forward_gflops(batch: int = 64) -> tuple:
     return cost["flops"] / batch / 1e9, nparams
 
 
+def train_step_gflops(batch: int = 128) -> float:
+    """Per-image FLOPs of the FULL flagship train step (InfoDiff
+    composite loss forward + backward + global-norm clip + AdamW), via
+    XLA HLO cost analysis of the exact jitted program bench.py's train
+    mode times (reference workload: /root/reference/run.py:161-212).
+    The basis of BASELINE.md's A100 train denominator."""
+    import jax.random as jr
+
+    from infodiffusion_tpu.models import InfoDiff
+    from infodiffusion_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    model = InfoDiff(
+        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        encoder_channels=64, mmd_weight=0.1, epochs=50,
+    )
+    x = jnp.zeros((batch, 64, 64, 3))
+    tx = make_optimizer(1e-4, 50, 1000)
+    state = create_train_state(model, jr.PRNGKey(0), x, tx)
+    step = make_train_step(model, tx, donate=False)
+    cost = step.lower(state, x, 0).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return cost["flops"] / batch / 1e9
+
+
 def main():
     gflops, nparams = forward_gflops()
     ddim100_tflop = gflops * 100 / 1e3
@@ -66,6 +93,17 @@ def main():
         ("A100 estimate    30.0 s/s vs 156 TF/s TF32 peak", 30.0, 156.0),
     ):
         eff = sps * ddim100_tflop
+        print(f"{label}: achieved {eff:6.1f} TF/s = {eff / peak:5.1%}")
+    print()
+    tg = train_step_gflops()
+    print(f"train step FLOPs (per image): {tg:.2f} GFLOP")
+    for label, ips, peak in (
+        ("TPU v5e measured 1088.5 i/s vs 197 TF/s bf16 peak", 1088.5,
+         197.0),
+        ("A100 estimate     330.0 i/s vs 156 TF/s TF32 peak", 330.0,
+         156.0),
+    ):
+        eff = ips * tg / 1e3
         print(f"{label}: achieved {eff:6.1f} TF/s = {eff / peak:5.1%}")
 
 
