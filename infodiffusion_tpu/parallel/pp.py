@@ -1,13 +1,16 @@
 """Pipeline parallelism: a GPipe microbatch executor over a mesh axis.
 
-SURVEY.md §2.3: the reference has no parallelism of any kind, and at
-this model scale (35M-param UNets) pipeline parallelism is never the
-binding constraint — so PP is NOT wired into the CLI. It exists here as
-a first-class, tested capability of the parallel toolbox for scales
-beyond the reference's: a generic ring-pipeline executor built the TPU
-way (one jitted program; `shard_map` over a ``stage`` mesh axis;
+SURVEY.md §2.3: the reference has no parallelism of any kind; PP exists
+here as a first-class capability of the parallel toolbox for scales
+beyond the reference's, CLI-wired as ``--pp N`` for train_latent_ddim
+(runner.py). It is a generic ring-pipeline executor built the TPU way
+(one jitted program; `shard_map` over a ``stage`` mesh axis;
 activations move between stages with `lax.ppermute` over ICI; the
-microbatch schedule is a `lax.scan`, not host control flow).
+microbatch schedule is a `lax.scan`, not host control flow). It
+composes with data parallelism over a ('data', 'stage') 2-D mesh
+(make_dp_stage_mesh): each data row is an independent pipeline replica,
+and the runner builds that mesh automatically when more devices than
+stages are available.
 
 Demonstrated and equivalence-tested (forward AND gradients) on the
 latent denoiser's homogeneous middle stack (LatentUNet layers 1..8 —
@@ -66,6 +69,27 @@ def make_stage_mesh(n_stages: int, devices=None) -> Mesh:
     return make_1d_mesh(n_stages, STAGE_AXIS, devices)
 
 
+def make_dp_stage_mesh(n_data: int, n_stages: int, devices=None) -> Mesh:
+    """('data', 'stage') 2-D mesh: ``n_data`` data-parallel pipeline
+    replicas of ``n_stages`` stages each. Stages of one replica are
+    adjacent devices (the ppermute ring rides ICI neighbors); the data
+    axis is the slow one, exactly like the train mesh
+    (parallel/mesh.py)."""
+    import numpy as np
+
+    from infodiffusion_tpu.parallel.mesh import DATA_AXIS
+
+    n = n_data * n_stages
+    devices = devices if devices is not None else jax.devices()[:n]
+    if len(devices) != n:
+        raise ValueError(
+            f"dp x pp mesh wants {n} devices ({n_data} x {n_stages}) but "
+            f"only {len(devices)} are available"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_stages)
+    return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
+
+
 def gpipe(
     stage_fn: Callable[[Any, jnp.ndarray, Any], jnp.ndarray],
     stage_params: Any,
@@ -87,9 +111,21 @@ def gpipe(
     Returns [M, mb, D]: the last stage's outputs, replicated.
     Differentiable end-to-end (ppermute/psum have transpose rules), so
     the same executor serves pipelined training.
+
+    When the mesh also has a ``data`` axis (make_dp_stage_mesh), the
+    microbatch dim (mb) of h0/aux/output is sharded over it: each data
+    row runs an independent pipeline replica on its batch slice (the
+    ppermute ring and the output psum act per-replica over 'stage'
+    automatically — named collectives subgroup over the other mesh
+    axes), and the caller's loss mean/gradients reduce over 'data'
+    through ordinary GSPMD. That is the dp x pp composition.
     """
     S = int(mesh.shape[axis])
     M = h0.shape[0]
+    from infodiffusion_tpu.parallel.mesh import DATA_AXIS
+
+    dp = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    mb_spec = P(None, dp) if dp else P()
 
     def body(p, h0, aux):
         s = lax.axis_index(axis)
@@ -118,8 +154,8 @@ def gpipe(
 
     return shard_map(
         body, mesh,
-        in_specs=(P(axis), P(), P()),
-        out_specs=P(),
+        in_specs=(P(axis), mb_spec, mb_spec),
+        out_specs=mb_spec,
         check_rep=False,
     )(stage_params, h0, aux)
 
@@ -310,6 +346,16 @@ def latent_pp_forward(
             f"{L} middle layers do not split over {S} pipeline stages"
         )
     lps = L // S
+    from infodiffusion_tpu.parallel.mesh import DATA_AXIS
+
+    if DATA_AXIS in mesh.axis_names:
+        dp_width = int(mesh.shape[DATA_AXIS])
+        if (B // M) % dp_width:
+            raise ValueError(
+                f"microbatch size {B // M} must divide over the {dp_width}"
+                f"-wide data axis of the dp x pp mesh (batch {B}, "
+                f"{M} microbatches)"
+            )
 
     # time embed: sinusoid -> [Dense -> SiLU]*(n-1) -> Dense; depth read
     # from LatentUNet.num_time_layers like the channel count above, so

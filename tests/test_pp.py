@@ -267,3 +267,74 @@ def test_make_pp_train_step_runs_and_matches():
     assert np.isfinite(float(m2["loss"]))
     # dropout perturbs, it does not transform: same order of magnitude
     assert abs(float(m2["loss"]) - float(metrics["loss"])) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# dp x pp composition (round-3 VERDICT #8): data-parallel pipeline
+# replicas over a ('data', 'stage') 2-D mesh
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices for the 2x4 mesh"
+)
+def test_gpipe_dp_composition_matches_sequential():
+    """gpipe over a (data=2, stage=4) mesh == sequential: each data row
+    runs its own ppermute ring on its microbatch slice."""
+    from infodiffusion_tpu.parallel.pp import make_dp_stage_mesh
+
+    _model, params = _params()
+    stacked = stack_latent_middle(params)
+    staged = reshape_for_stages(stacked, N_STAGES)
+    h, x, cond = _inputs()  # mb=4 divides over the 2-wide data axis
+
+    want = jax.vmap(
+        lambda h_, x_, c_: latent_middle_sequential(stacked, h_, x_, c_)
+    )(h, x, cond)
+    got = gpipe(
+        latent_mid_stage_fn(layers_per_stage=8 // N_STAGES),
+        staged, h, (x, cond), mesh=make_dp_stage_mesh(2, N_STAGES),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices for the 2x4 mesh"
+)
+def test_pp_train_step_dp_composition_loss_matches():
+    """make_pp_train_step on the dp x pp mesh reproduces the
+    single-device sequential loss on the step's derived draws (the same
+    equivalence the 1-D pp test pins, now with the batch sharded over
+    'data')."""
+    from infodiffusion_tpu.models import Diff
+    from infodiffusion_tpu.parallel.pp import (
+        make_dp_stage_mesh, make_pp_train_step,
+    )
+    from infodiffusion_tpu.train import create_train_state, make_optimizer
+
+    model = Diff(T=16, shape=(1, D, D), is_latent=True)
+    B = 8
+    x = jr.normal(jr.PRNGKey(5), (B, D))
+    tx = make_optimizer(1e-4, 2, 4)
+    state = create_train_state(model, jr.PRNGKey(0), x, tx)
+    rng0, step0, params0 = state.rng, int(state.step), state.params
+
+    step = make_pp_train_step(
+        model, tx, make_dp_stage_mesh(2, N_STAGES), microbatches=4,
+        deterministic_dropout_off=True,
+    )
+    # the step donates its state arg; keep ours alive for the oracle
+    _, metrics = step(jax.tree.map(jnp.copy, state), x, 0)
+
+    k = jr.fold_in(jnp.asarray(rng0), step0)
+    k_noise, _ = jr.split(k)
+    k_t, k_eps = jr.split(k_noise)
+    t = jr.randint(k_t, (B,), 0, 16)
+    eps = jr.normal(k_eps, x.shape, x.dtype)
+    want, _ = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params0)}, x, 0,
+        method=Diff.loss_fn, deterministic=True, t=t, eps=eps,
+    )
+    np.testing.assert_allclose(float(want), float(metrics["loss"]),
+                               atol=1e-6, rtol=1e-6)
