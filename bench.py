@@ -76,6 +76,14 @@ A100_DDIM100_EST = 30.0  # samples/s, documented estimate (see module doc)
 #: scaled by the fixed TF32-eager estimate for cross-round continuity.
 A100_INT8_EST = 125.0
 
+#: A100 eager-torch TRAIN estimate for the same workload (79.8
+#: GFLOP/image from tools/flops_report.py, TF32 peak, ~21% eager
+#: training utilization — the sampler's 29% scaled by our own measured
+#: train/sampler MFU ratio; derivation in BASELINE.md "A100 train
+#: denominator"). Defined at the 64px flagship only; fixed across
+#: rounds.
+A100_TRAIN_EST = 420.0
+
 
 def vs_base(sps, size):
     """vs_baseline ratio; defined at the 64px flagship config only."""
@@ -183,7 +191,11 @@ def train_main():
                 ),
                 "value": round(ips, 3),
                 "unit": "imgs/s",
-                "vs_baseline": None,
+                # A100 eager-train estimate (BASELINE.md "A100 train
+                # denominator"); defined at the 64px flagship only
+                "vs_baseline": (
+                    round(ips / A100_TRAIN_EST, 3) if size == 64 else None
+                ),
             }
         )
     )

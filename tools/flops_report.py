@@ -100,7 +100,7 @@ def main():
     for label, ips, peak in (
         ("TPU v5e measured 1088.5 i/s vs 197 TF/s bf16 peak", 1088.5,
          197.0),
-        ("A100 estimate     330.0 i/s vs 156 TF/s TF32 peak", 330.0,
+        ("A100 estimate     420.0 i/s vs 156 TF/s TF32 peak", 420.0,
          156.0),
     ):
         eff = ips * tg / 1e3
