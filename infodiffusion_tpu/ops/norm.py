@@ -57,13 +57,70 @@ def _var_to_rstd(var: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.rsqrt(jnp.maximum(var, 0.0) + _EPS)
 
 
+def _split_stats() -> bool:
+    """Layout experiment (round 4) — MEASURED NEGATIVE, kept as the
+    parity-tested dossier knob (tools/layout_probe.py has the full
+    story). Computing the GN spatial sums as two HALF-W reductions
+    (a [*, 64, 64] half has no W-minor lane advantage) does keep the
+    level-0 chains in the convs' C-minor layout and removes 70% of the
+    128px relayout copy bytes (2872 -> 859 MB/forward) — but the
+    copies were buying VMEM-staged full-lane VPU work, and C-minor
+    chains pay 2x lane padding on every HBM pass instead: wall-clock
+    WASH on the forward probe, 30% SLOWER on the real 128px DDIM-100
+    bench (10.53 vs 14.94 samples/s, b128). XLA's relayout scheme
+    wins; do not enable in production."""
+    return os.environ.get("INFODIFF_GN_SPLIT_STATS") == "1"
+
+
+def _dot_stats() -> bool:
+    """Layout experiment (round 4) — MEASURED NO-OP: computing the GN
+    per-channel sums as a dot_general against a ones vector changes
+    neither the copy profile nor the time (the copy table is
+    byte-identical — XLA strength-reduces the dot-with-ones back
+    before layout assignment). Kept as the parity-tested record."""
+    return os.environ.get("INFODIFF_GN_DOT_STATS") == "1"
+
+
+def _spatial_sums_dot(xf3: jnp.ndarray):
+    """(sum, sum_sq) over the spatial axis of [B, S, C] f32 via
+    dot_general — one MXU pass reading x once (the two contractions
+    share the operand)."""
+    ones = jnp.ones((xf3.shape[1],), jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
+    s1 = jax.lax.dot_general(xf3, ones, dims)
+    s2 = jax.lax.dot_general(jnp.square(xf3), ones, dims)
+    return s1, s2
+
+
 def _gn_stats(x: jnp.ndarray, num_groups: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(batch, group) mean/rstd in f32. x: [..., C]."""
     *lead, C = x.shape
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
     if _ablate_stats():
         return _const_stats(x.shape[0], num_groups)
-    xf = x.astype(jnp.float32).reshape(x.shape[0], -1, num_groups, C // num_groups)
+    B = x.shape[0]
+    if _split_stats() and x.ndim == 4 and x.shape[2] % 2 == 0:
+        xf = x.astype(jnp.float32)
+        halves = [xf[:, :, : x.shape[2] // 2, :],
+                  xf[:, :, x.shape[2] // 2 :, :]]
+        s1 = sum(jnp.sum(h, axis=(1, 2)) for h in halves)  # [B, C]
+        s2 = sum(jnp.sum(jnp.square(h), axis=(1, 2)) for h in halves)
+        g1 = s1.reshape(B, num_groups, C // num_groups).sum(-1)
+        g2 = s2.reshape(B, num_groups, C // num_groups).sum(-1)
+        count = x.shape[1] * x.shape[2] * (C // num_groups)
+        mean = (g1 / count).reshape(B, 1, num_groups, 1)
+        msq = (g2 / count).reshape(B, 1, num_groups, 1)
+        return mean, _var_to_rstd(msq - jnp.square(mean))
+    if _dot_stats():
+        xf3 = x.astype(jnp.float32).reshape(B, -1, C)
+        s1, s2 = _spatial_sums_dot(xf3)  # [B, C]
+        g1 = s1.reshape(B, num_groups, C // num_groups).sum(-1)
+        g2 = s2.reshape(B, num_groups, C // num_groups).sum(-1)
+        count = xf3.shape[1] * (C // num_groups)
+        mean = (g1 / count).reshape(B, 1, num_groups, 1)
+        msq = (g2 / count).reshape(B, 1, num_groups, 1)
+        return mean, _var_to_rstd(msq - jnp.square(mean))
+    xf = x.astype(jnp.float32).reshape(B, -1, num_groups, C // num_groups)
     # one-pass stats (E[x^2] - mean^2): both reductions land in ONE XLA
     # fusion reading x once, vs two passes for the (x - mean)^2 form —
     # GN is bandwidth-bound so this halves its stats traffic. f32
@@ -95,17 +152,41 @@ def _gn_stats_from_pieces(
     n_spatial = 1
     for ax in spatial_axes:
         n_spatial *= pieces[0].shape[ax]
-    s1 = jnp.concatenate(
-        [jnp.sum(p.astype(jnp.float32), axis=spatial_axes) for p in pieces],
-        axis=-1,
-    )  # [B, C]
-    s2 = jnp.concatenate(
-        [
-            jnp.sum(jnp.square(p.astype(jnp.float32)), axis=spatial_axes)
+    if (_split_stats() and pieces[0].ndim == 4
+            and pieces[0].shape[2] % 2 == 0):
+        W2 = pieces[0].shape[2] // 2
+
+        def _half_sums(p):
+            pf = p.astype(jnp.float32)
+            hs = [pf[:, :, :W2, :], pf[:, :, W2:, :]]
+            return (sum(jnp.sum(h, axis=(1, 2)) for h in hs),
+                    sum(jnp.sum(jnp.square(h), axis=(1, 2)) for h in hs))
+
+        sums = [_half_sums(p) for p in pieces]
+        s1 = jnp.concatenate([s[0] for s in sums], axis=-1)  # [B, C]
+        s2 = jnp.concatenate([s[1] for s in sums], axis=-1)
+    elif _dot_stats():
+        sums = [
+            _spatial_sums_dot(
+                p.astype(jnp.float32).reshape(B, -1, p.shape[-1])
+            )
             for p in pieces
-        ],
-        axis=-1,
-    )
+        ]
+        s1 = jnp.concatenate([s[0] for s in sums], axis=-1)  # [B, C]
+        s2 = jnp.concatenate([s[1] for s in sums], axis=-1)
+    else:
+        s1 = jnp.concatenate(
+            [jnp.sum(p.astype(jnp.float32), axis=spatial_axes)
+             for p in pieces],
+            axis=-1,
+        )  # [B, C]
+        s2 = jnp.concatenate(
+            [
+                jnp.sum(jnp.square(p.astype(jnp.float32)), axis=spatial_axes)
+                for p in pieces
+            ],
+            axis=-1,
+        )
     g1 = s1.reshape(B, num_groups, C // num_groups).sum(-1)
     g2 = s2.reshape(B, num_groups, C // num_groups).sum(-1)
     count = n_spatial * (C // num_groups)

@@ -1,6 +1,7 @@
 """Unit tests for the hot ops vs numpy oracles (SURVEY.md §4.1)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import jax.random as jr
 
@@ -119,6 +120,38 @@ def test_gn_stats_from_pieces_matches_concat():
         np.asarray(group_norm(cat, 32, scale, bias)),
         atol=2e-5,
     )
+
+
+@pytest.mark.parametrize("env", ["INFODIFF_GN_SPLIT_STATS",
+                                 "INFODIFF_GN_DOT_STATS"])
+def test_gn_stats_layout_variants_match(env, monkeypatch):
+    """The round-4 layout-experiment stat forms (half-W split reduce /
+    dot-against-ones) are the SAME math as the default one-pass stats —
+    f32 reassociation only. Exercised through group_norm AND the
+    piece form (both take the env-gated path)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from infodiffusion_tpu.ops import norm as norm_mod
+
+    k1, k2 = jr.split(jr.PRNGKey(7))
+    a = jr.normal(k1, (2, 8, 16, 64), jnp.float32) * 1.3 - 0.2
+    b = jr.normal(k2, (2, 8, 16, 64), jnp.float32) * 0.7 + 0.9
+    cat = jnp.concatenate([a, b], axis=-1)
+    scale = jnp.linspace(0.5, 1.5, 128)
+    bias = jnp.linspace(-0.2, 0.2, 128)
+
+    want = np.asarray(norm_mod.group_norm(cat, 32, scale, bias))
+    want_p = np.asarray(jnp.concatenate(
+        norm_mod.group_norm_pieces([a, b], 32, scale, bias), axis=-1
+    ))
+    monkeypatch.setenv(env, "1")
+    got = np.asarray(norm_mod.group_norm(cat, 32, scale, bias))
+    got_p = np.asarray(jnp.concatenate(
+        norm_mod.group_norm_pieces([a, b], 32, scale, bias), axis=-1
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got_p, want_p, atol=2e-5)
 
 
 def test_subpixel_upsample_matches_naive(monkeypatch):
