@@ -136,12 +136,13 @@ def use_fused_qconv() -> bool:
             and jax.default_backend() == "tpu")
 
 
-def _vmem_need(nb, th, H, W, ctot, cout, in_bytes=2):
+def _vmem_need(nb, th, H, W, ctot, cout, in_bytes=2, v2=False):
     """Pessimistic (no-reuse SUM) VMEM accounting for plan (nb, th):
     pipelined in/out value blocks plus every named per-tile vector the
     kernel materializes (Mosaic allocates stack for each; measurement
     showed its liveness analysis reuses little across the unrolled tile
-    loop, so summing is the honest model)."""
+    loop, so summing is the honest model). ``v2`` adds the second Xcat
+    scratch of the software-pipelined variant."""
     m = nb * (th + 2) * W
     mp = nb * (th + 2) * (W + 2)
     k, n = 3 * ctot, 3 * cout
@@ -150,6 +151,7 @@ def _vmem_need(nb, th, H, W, ctot, cout, in_bytes=2):
         + 2 * m * ctot * 4                 # f32 chain temps (xwin, h)
         + mp * ctot                        # zero-padded q windows, s8
         + 2 * m * k                        # Xcat scratch + its load, s8
+        + (m * k if v2 else 0)             # second Xcat (double buffer)
         + m * n * 4                        # Y s32
         + m * cout * 8                     # acc s32 + outv f32
         + 2 * nb * H * W * cout * 2        # out (x2 pipeline)
@@ -158,13 +160,16 @@ def _vmem_need(nb, th, H, W, ctot, cout, in_bytes=2):
     )
 
 
-def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int, in_bytes=2):
+def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int, in_bytes=2,
+               v2=None):
     """Pick (NB, TH): batch-per-program and internal row-tile. Search
     every feasible combo and keep the largest matmul M = NB*(TH+2)*W
     that fits the VMEM budget (big M amortizes the 2-row halo recompute
     and keeps the MXU fed); None = no feasible plan (the caller falls
     back to the XLA int8 path)."""
     budget = _vmem_budget()
+    if v2 is None:
+        v2 = _use_v2()
     best, best_m = None, 0
     for nb in (32, 16, 8, 4, 2, 1):
         if B % nb:
@@ -177,7 +182,8 @@ def _tile_plan(B: int, H: int, W: int, ctot: int, cout: int, in_bytes=2):
             m = nb * (th + 2) * W
             if m > 16384:
                 continue
-            if _vmem_need(nb, th, H, W, ctot, cout, in_bytes) > budget:
+            if _vmem_need(nb, th, H, W, ctot, cout, in_bytes,
+                          v2=v2) > budget:
                 continue
             # prefer bigger M; tie-break toward fewer halo rows (big TH)
             score = m * 100 + th
@@ -290,6 +296,98 @@ def _kernel(n_pieces, NB, TH, H, W, ctot, cout, out_dtype, *refs):
         out_ref[:, ht * TH : (ht + 1) * TH, :, :] = outv.astype(out_dtype)
 
 
+def _use_v2() -> bool:
+    """Round-4 software-pipelined variant (the dossier's own 'what
+    WOULD be needed'): double-buffered Xcat scratch + issue order
+    [matmul(tile t) BEFORE chain(tile t+1)], so the MXU matmul of tile
+    t and the VPU chain of tile t+1 are textually independent and
+    Mosaic's scheduler is free to overlap them. INFODIFF_QCONV_V2=1
+    selects it wherever the fused kernel itself is enabled."""
+    return os.environ.get("INFODIFF_QCONV_V2") == "1"
+
+
+def _kernel_v2(n_pieces, NB, TH, H, W, ctot, cout, out_dtype, *refs):
+    """Software-pipelined variant of :func:`_kernel` (same math, same
+    refs + one extra Xcat scratch): tile t+1's chain/quantize (VPU)
+    fills one Xcat buffer while tile t's shifted matmul (MXU) consumes
+    the other. The chain also stores each piece's quantized window
+    straight into the scratch slot (no qrows list kept live across the
+    relayout), shrinking the f32 live set Mosaic must hold."""
+    xs = refs[:n_pieces]
+    a_ref, b_ref, s_ref, kmat_ref, swb_ref = refs[n_pieces : n_pieces + 5]
+    out_ref = refs[-3]
+    xcat_refs = (refs[-2], refs[-1])
+
+    kmat = kmat_ref[:]
+    swb = swb_ref[:].astype(jnp.float32)
+    sw = swb[0:1, :]
+    bias = swb[1:2, :]
+
+    def _zpad(q, top, bot):
+        nb, r, w, c = q.shape
+        z = lambda *s: jnp.zeros(s, jnp.int8)  # noqa: E731
+        parts = []
+        if top:
+            parts.append(z(nb, top, w, c))
+        parts.append(q)
+        if bot:
+            parts.append(z(nb, bot, w, c))
+        q = jnp.concatenate(parts, axis=1) if len(parts) > 1 else q
+        zc = z(nb, q.shape[1], 1, c)
+        return jnp.concatenate([zc, q, zc], axis=2)
+
+    n_tiles = H // TH
+
+    def chain_tile(ht, slot):
+        """GN/FiLM/SiLU + quantize + zpad + width-tap store for one
+        (TH+2)-row window, written into xcat_refs[slot]."""
+        r0 = ht * TH - 1
+        off = 0
+        for i in range(n_pieces):
+            ci = xs[i].shape[-1]
+            lo = max(0, r0)
+            hi = min(H, r0 + TH + 2)
+            xwin = xs[i][:, lo:hi, :, :].astype(jnp.float32)
+            aw = a_ref[:, 0, 0, off : off + ci].astype(jnp.float32)
+            bw = b_ref[:, 0, 0, off : off + ci].astype(jnp.float32)
+            h = xwin * aw[:, None, None, :] + bw[:, None, None, :]
+            h = h * jax.nn.sigmoid(h)
+            si = s_ref[0, i]
+            q = jnp.clip(jnp.round(h / si), -127.0, 127.0).astype(jnp.int8)
+            top = 1 if r0 < 0 else 0
+            bot = (TH + 2) - (hi - lo) - top
+            q = _zpad(q, top, bot)
+            for dw in range(3):
+                o0 = dw * ctot + off
+                xcat_refs[slot][:, :, :, o0 : o0 + ci] = (
+                    q[:, :, dw : dw + W, :]
+                )
+            off += ci
+
+    m = NB * (TH + 2) * W
+    chain_tile(0, 0)  # prologue: fill buffer 0
+    for ht in range(n_tiles):
+        xcat = xcat_refs[ht % 2][:]
+        # MXU consumes buffer ht%2 ...
+        y = jnp.dot(
+            xcat.reshape(m, 3 * ctot), kmat,
+            preferred_element_type=jnp.int32,
+        ).reshape(NB, TH + 2, W, 3 * cout)
+        # ... while the VPU chain of the NEXT tile fills the other
+        # buffer (no data dependence on y — the scheduler may overlap)
+        if ht + 1 < n_tiles:
+            chain_tile(ht + 1, (ht + 1) % 2)
+        acc = (
+            y[:, 0:TH, :, 0:cout]
+            + y[:, 1 : TH + 1, :, cout : 2 * cout]
+            + y[:, 2 : TH + 2, :, 2 * cout : 3 * cout]
+        )
+        outv = acc.astype(jnp.float32) * sw[:, None, None, :] + (
+            bias[:, None, None, :]
+        )
+        out_ref[:, ht * TH : (ht + 1) * TH, :, :] = outv.astype(out_dtype)
+
+
 def _fold_pack(kernel, s_act, piece_channels):
     """Fold per-piece act scales into the kernel's input-channel slices,
     jointly weight-quantize per output channel, and pack for the
@@ -350,7 +448,8 @@ def qconv_fused(
                      bias.astype(jnp.float32)])  # (2, Cout)
 
     kern = functools.partial(
-        _kernel, n, NB, TH, H, W, ctot, cout, out_dtype
+        _kernel_v2 if _use_v2() else _kernel,
+        n, NB, TH, H, W, ctot, cout, out_dtype,
     )
     grid = (Bt // NB,)
     in_specs = [
@@ -376,7 +475,11 @@ def qconv_fused(
         out_specs=pl.BlockSpec((NB, H, W, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bt, H, W, cout), out_dtype),
-        scratch_shapes=[pltpu.VMEM((NB, TH + 2, W, 3 * ctot), jnp.int8)],
+        scratch_shapes=(
+            [pltpu.VMEM((NB, TH + 2, W, 3 * ctot), jnp.int8)] * 2
+            if _use_v2()
+            else [pltpu.VMEM((NB, TH + 2, W, 3 * ctot), jnp.int8)]
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * Bt * H * W * 9 * ctot * cout,

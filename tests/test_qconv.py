@@ -75,6 +75,26 @@ def test_kernel_matches_oracle_interpret(shapes, cout):
     assert _rel(out, ref) < 1e-6
 
 
+@pytest.mark.parametrize(
+    "shapes,cout",
+    [
+        ([(8, 16, 16, 32)], 64),
+        ([(8, 8, 8, 64), (8, 8, 8, 32)], 64),
+        ([(16, 32, 32, 64)], 64),  # multi-tile: the pipeline actually runs
+    ],
+)
+def test_kernel_v2_matches_oracle_interpret(shapes, cout, monkeypatch):
+    """The software-pipelined v2 kernel (INFODIFF_QCONV_V2=1,
+    double-buffered Xcat + overlapped issue order) is the SAME math as
+    v1/the oracle — only the schedule differs."""
+    monkeypatch.setenv("INFODIFF_QCONV_V2", "1")
+    ps, A, Brow, absmax, k, b = _case(shapes, cout)
+    out = qconv_fused(ps, A, Brow, absmax, k, b, jnp.float32,
+                      interpret=True)
+    ref = qconv_reference(ps, A, Brow, absmax, k, b, jnp.float32)
+    assert _rel(out, ref) < 1e-6
+
+
 def test_oracle_close_to_f32_chain():
     """The oracle (and hence the kernel) tracks the UNQUANTIZED
     silu(x*A+B) -> conv within the int8 noise floor."""
