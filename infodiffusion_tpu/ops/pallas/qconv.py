@@ -88,7 +88,34 @@ What WOULD be needed to win: software-pipelining the chain (VPU) of row
 tile t+1 against the matmul (MXU) of tile t inside one program, plus
 register-blocked chain evaluation — an upside bounded by the 24.4%
 quantize tax minus the kernel's own overheads, i.e. <=10% headline.
-Recorded here so the next attempt starts from measurement, not hope.
+
+ROUND-4 VERDICT on that attempt: BUILT (``_kernel_v2``,
+INFODIFF_QCONV_V2=1 — double-buffered Xcat scratch, issue order
+[matmul(tile t) BEFORE chain(tile t+1)], so the MXU consumer of buffer
+t%2 and the VPU producer of buffer (t+1)%2 are textually independent
+with no data dependence, which is the only overlap mechanism Mosaic
+exposes short of hand-written DMA semaphores on compute) and MEASURED
+A WASH (tools/qconv_bench.py, v5e, 20 invocations/dispatch via lax.map
+over per-rep-varied A rows, fetch-synced medians of 7):
+
+    site            v1_ms   v2_ms   xla_ms  v2/v1   xla/v2
+    l0_conv         2.226   2.430   1.643   0.92x   0.68x
+    l1_conv         1.653   1.568   1.344   1.05x   0.86x
+    l2_conv         1.333   1.378   1.407   0.97x   1.02x
+    l0_up_pieces    2.834   2.848   1.927   1.00x   0.68x
+    l1_up_pieces    1.995   1.800   1.810   1.11x   1.01x
+
+Net v2/v1 ~= 1.00 (range 0.92-1.11); v2 stays 0.68x XLA at the two
+dominant level-0 sites, vs the ~2.6x gap the chainless ablation bounds.
+Reading: making the chain and matmul textually independent does NOT
+make Mosaic overlap them — the VPU chain's vreg spills still serialize
+through the same VMEM ports the MXU operands stream through, and at
+level-0 the doubled (NB,TH+2,W,3*Ctot) s8 scratch halves the planner's
+row tile, adding halo recompute that eats the small l1-class gains.
+The overlap this design needs is not expressible at the Mosaic
+scheduling level; the 24.4% quantize tax stands as the measured
+structural floor of the turbo tier (BASELINE.md item 7), and both
+kernel variants stay opt-in dossier artifacts.
 """
 
 from __future__ import annotations
@@ -124,8 +151,9 @@ def use_fused_qconv() -> bool:
     the INFODIFF_ENABLE_PALLAS umbrella: MEASURED 2.6x SLOWER end-to-end
     than the XLA int8 path (38.0 vs 100.1 DDIM-100 samples/s) — see the
     module docstring's futility dossier. Kept as a parity-tested
-    alternative path and the starting point for any future
-    software-pipelined attempt."""
+    alternative path; the round-4 software-pipelined variant
+    (INFODIFF_QCONV_V2=1) measured a wash — see the dossier's
+    ROUND-4 VERDICT."""
     if os.environ.get("INFODIFF_DISABLE_FUSED_QCONV") == "1":
         return False
     if os.environ.get("INFODIFF_DISABLE_PALLAS") == "1":

@@ -9,7 +9,9 @@ via lax.map over per-rep-varied A rows (the tunnel may serve identical
 re-executions from cache), value-fetch sync, median of reps.
 
 Prints one JSON line per flagship site class.
-Env: INFODIFF_QCB_REPS (default 7), INFODIFF_QCB_INNER (20).
+Env: INFODIFF_QCB_REPS (default 7), INFODIFF_QCB_INNER (20),
+INFODIFF_QCB_SITES (comma-separated site-name filter — resume a run the
+tunnel's ~10-min-per-compile pace cut short).
 """
 
 from __future__ import annotations
@@ -85,7 +87,9 @@ def main():
     def oracle(ps, A, Brow, absmax, k, b):
         return q.qconv_reference(ps, A, Brow, absmax, k, b, jnp.bfloat16)
 
-    for name, shapes, cout in SITES:
+    only = os.environ.get("INFODIFF_QCB_SITES")
+    sites = [s for s in SITES if not only or s[0] in only.split(",")]
+    for name, shapes, cout in sites:
         os.environ.pop("INFODIFF_QCONV_V2", None)
         t1 = measure(build(shapes, cout, fused, inner), reps)
         os.environ["INFODIFF_QCONV_V2"] = "1"
