@@ -533,11 +533,17 @@ class LatentDiffusionProcess:
 
     ``--turbo int8`` (or INFODIFF_TURBO=int8) quantizes the trajectory
     kernel's WEIGHT STREAM to int8 (ops/pallas/latent_traj.py
-    quantize_packed_weights): the step is weight-stream-bound, so
-    halving the ~26 MB/step DMA is a direct win; the matmuls stay bf16
-    on the MXU. Latent turbo requires the trajectory kernel — on the
-    XLA-scan fallback paths (mesh, kernel disabled, unsupported shapes)
-    the latent leg stays bf16 and a warning says so."""
+    quantize_packed_weights); the matmuls stay bf16 on the MXU.
+    MEASURED NEUTRAL (round 4, tools/latent_turbo_bench.py,
+    kernel-level, 15 reps with per-rep keys: 1.003-1.013x at a_dim
+    32/64/256, every delta inside the middle-half spread) — the
+    double-buffered weight DMA was already fully hidden behind compute,
+    so halving its bytes changes nothing. Kept wired so the tier's
+    semantics stay uniform across legs (conv bodies + encoder + latent),
+    not as a performance claim. Latent turbo requires the trajectory
+    kernel — on the XLA-scan fallback paths (mesh, kernel disabled,
+    unsupported shapes) the latent leg stays bf16 and a warning says
+    so."""
 
     def __init__(self, cfg, model, params, mesh=None, turbo=None):
         self.cfg = cfg

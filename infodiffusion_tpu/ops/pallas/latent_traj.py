@@ -91,15 +91,23 @@ def quantize_packed_weights(packed):
     the ``--turbo int8`` tier): per-(layer, output-column) symmetric int8
     of the packed ``W`` stack, dequantized in-register after the DMA.
 
-    Why: the kernel's own docstring — the latent step is
-    weight-stream-bound (~26 MB of MLP weights cross HBM per step at
-    a_dim=256 bf16). int8 halves that stream; the matmul still runs bf16
-    on the MXU (int8 values are exact in bf16) with the per-column scale
-    applied to the f32 accumulator, so the only new error is the weight
-    rounding itself — the same W8 granularity as the conv tier
+    Why it was built: ~26 MB of MLP weights cross HBM per step at
+    a_dim=256 bf16, and int8 halves that stream; the matmul still runs
+    bf16 on the MXU (int8 values are exact in bf16) with the per-column
+    scale applied to the f32 accumulator, so the only new error is the
+    weight rounding itself — the same W8 granularity as the conv tier
     (ops/quant.py quantize_weight). Zero-padded rows/columns stay exact
     zeros. Returns ``packed`` with ``W`` int8 and a new ``Wsc`` [L, h]
-    f32 scale table (VMEM-resident in the kernel, 40 KB)."""
+    f32 scale table (VMEM-resident in the kernel, 40 KB).
+
+    MEASURED NEUTRAL (round 4, tools/latent_turbo_bench.py — the
+    variance-controlled kernel-level measurement the round-3 e2e
+    numbers lacked): bf16 vs int8 stream at b256/T=1000 is 33.68 vs
+    33.57 ms (a_dim=32), 36.19 vs 35.93 (64), 75.16 vs 74.20 (256) —
+    1.003-1.013x, every delta inside the middle-half spread of 15 reps.
+    The cross-step double buffering already hides the weight DMA behind
+    the matmuls, so the stream is latency-irrelevant at every reference
+    a_dim; the feature stays for tier uniformity, not speed."""
     W = packed["W"].astype(jnp.float32)
     absmax = jnp.max(jnp.abs(W), axis=1)  # [L, h]
     sc = jnp.maximum(absmax, 1e-30) / 127.0
