@@ -42,11 +42,13 @@ driver records): train (train imgs/sec/chip), latent (latent-DDIM
 latents/sec), encode (Encoder imgs/sec — the save_latent workhorse),
 fid (InceptionV3 FID-feature imgs/sec — the eval_fid scoring pass).
 INFODIFF_BENCH_SIZE applies to the headline, train and encode modes
-(latent/fid are resolution-independent). NOTE the JSON line's SHAPE is
-size-gated: the dual-tier default (and its ``bf16_parity`` sub-object)
-exists only at the 64px flagship; any other INFODIFF_BENCH_SIZE runs a
-SINGLE bf16 tier and emits a size-suffixed metric name with
-``vs_baseline: null`` (the A100 estimate is defined at 64px only).
+(latent/fid are resolution-independent). Non-64px sizes emit a
+size-suffixed metric name with ``vs_baseline: null`` (the A100
+estimates are defined at 64px only); the dual-tier default applies at
+EVERY size since round 4 — the round-3 64px-only gate rested on a
+b32-confounded 128px sweep (int8 7.30 vs bf16 8.66), and the full-batch
+re-sweep reversed it (b128: int8 16.27 vs bf16 14.94, +8.9% — turbo is
+the faster tier at 128px too; full table in STATUS.md round 4).
 
 The line's schema is FROZEN (round 2 renamed the default headline from
 ``ddim100_samples_per_sec`` to ``ddim100_samples_per_sec_int8turbo``
@@ -109,22 +111,32 @@ def resolve_bench_turbo():
     return turbo
 
 
-def dual_tier_record(turbo_sps, bf16_sps):
-    """The FROZEN default-headline schema (64px, INFODIFF_TURBO unset):
-    int8 turbo as the value, bf16 parity as a sub-object, plus the
-    precision-matched vs_a100_int8 ratio (schema-guarded in
-    tests/test_scripts.py — extend, don't rename)."""
-    return {
-        "metric": "ddim100_samples_per_sec_int8turbo",
+def dual_tier_record(turbo_sps, bf16_sps, size=64):
+    """The FROZEN default-headline schema (INFODIFF_TURBO unset):
+    int8 turbo as the value, bf16 parity as a sub-object, plus (at the
+    64px flagship) the precision-matched vs_a100_int8 ratio
+    (schema-guarded in tests/test_scripts.py — extend, don't rename).
+    Non-64px sizes get the size-suffixed name and null ratios (the A100
+    estimates are 64px-only); the dual-tier shape itself is
+    size-independent since round 4 (module docstring)."""
+    metric = (
+        "ddim100_samples_per_sec_int8turbo"
+        if size == 64
+        else f"ddim100_samples_per_sec_{size}px_int8turbo"
+    )
+    rec = {
+        "metric": metric,
         "value": round(turbo_sps, 3),
         "unit": "samples/s",
-        "vs_baseline": vs_base(turbo_sps, 64),
-        "vs_a100_int8": round(turbo_sps / A100_INT8_EST, 3),
+        "vs_baseline": vs_base(turbo_sps, size),
         "bf16_parity": {
             "value": round(bf16_sps, 3),
-            "vs_baseline": vs_base(bf16_sps, 64),
+            "vs_baseline": vs_base(bf16_sps, size),
         },
     }
+    if size == 64:
+        rec["vs_a100_int8"] = round(turbo_sps / A100_INT8_EST, 3)
+    return rec
 
 
 def single_tier_record(sps, turbo, size):
@@ -407,9 +419,9 @@ def main():
     # INFODIFF_TURBO pins one tier ("" = bf16 parity, "int8"/"int8x" =
     # that tier, each with a tier-suffixed metric name). UNSET = the
     # default dual-tier headline: bf16 parity + int8 turbo in one line
-    # (module docstring) — at the 64px flagship only; non-64px
-    # beyond-reference datapoints stay single-tier bf16. Resolved
-    # before the (expensive) model init so a typo fails fast.
+    # (module docstring), at every size since the round-4 128px
+    # full-batch re-sweep. Resolved before the (expensive) model init
+    # so a typo fails fast.
     turbo_env = resolve_bench_turbo()
     base_variables = jax.jit(lambda: model.init(rngs, x, t0, a0))()
     sched = make_schedule(1e-5, 1e-2, 1000)
@@ -452,14 +464,14 @@ def main():
             times.append(time.perf_counter() - t_start)
         return batch / min(times)
 
-    if turbo_env is None and size == 64:
+    if turbo_env is None:
         # default headline: both tiers, one line — turbo (the framework's
         # fastest honest inference configuration; near-pixel parity,
         # PARITY.md D16) is the value, the bf16 parity-precision series
         # rides along so the trend stays comparable round over round
         bf16_sps = measure("")
         turbo_sps = measure("int8")
-        print(json.dumps(dual_tier_record(turbo_sps, bf16_sps)))
+        print(json.dumps(dual_tier_record(turbo_sps, bf16_sps, size)))
         return
 
     turbo = turbo_env or ""

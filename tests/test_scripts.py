@@ -81,11 +81,21 @@ def test_bench_headline_schema_frozen():
     assert bench.single_tier_record(100.0, "int8", 64)["metric"] == (
         "ddim100_samples_per_sec_int8turbo"
     )
-    # size-gated single-tier fallback (ADVICE r2): non-64px = bf16 only,
-    # size-suffixed name, vs_baseline null
+    # pinned-tier non-64px fallback: size-suffixed name, vs_baseline null
     r128 = bench.single_tier_record(8.68, "", 128)
     assert r128["metric"] == "ddim100_samples_per_sec_128px"
     assert r128["vs_baseline"] is None
+
+    # round-4 re-gate: the dual-tier default applies at EVERY size (the
+    # full-batch 128px sweep showed int8 wins there too — STATUS.md);
+    # non-64px keeps null ratios and drops the 64px-only vs_a100_int8
+    d128 = bench.dual_tier_record(16.27, 14.94, 128)
+    assert d128["metric"] == "ddim100_samples_per_sec_128px_int8turbo"
+    assert d128["vs_baseline"] is None
+    assert d128["bf16_parity"]["value"] == 14.94
+    assert d128["bf16_parity"]["vs_baseline"] is None
+    assert "vs_a100_int8" not in d128
+    json.dumps(d128)
 
     # INFODIFF_TURBO=off must pin the bf16 tier in EVERY bench mode
     # ('off' is the documented way to defeat an exported INFODIFF_TURBO,

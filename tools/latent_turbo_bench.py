@@ -42,16 +42,27 @@ import jax.numpy as jnp
 import jax.random as jr
 
 
-def measure(fn, key, reps):
+def significant(m_a, m_b, s_a, s_b):
+    """IQR-style significance: the medians differ by more than the SUM
+    of the two middle-half spreads. Deliberately conservative — over
+    the axon tunnel a difference inside the spreads is noise
+    (CLAUDE.md benchmark trap 2), and this tool exists to stop such
+    noise being reported as a win."""
+    return abs(m_a - m_b) > (s_a + s_b)
+
+
+def measure(fn, key, reps, clock=time.perf_counter):
     """Median + middle-half spread of per-call seconds; a fresh folded
-    key per rep and a value-fetch sync per rep (CLAUDE.md traps 1+2)."""
+    key per rep and a value-fetch sync per rep (CLAUDE.md traps 1+2).
+    ``clock`` is injectable so the statistics are unit-testable without
+    patching the global clock (JAX's dispatch also reads it)."""
     times = []
     for i in range(reps):
         k = jr.fold_in(key, i)
-        t0 = time.perf_counter()
+        t0 = clock()
         out = fn(k)
         float(jnp.mean(out))
-        times.append(time.perf_counter() - t0)
+        times.append(clock() - t0)
     times.sort()
     n = len(times)
     mid = times[n // 4 : n - n // 4] or times
@@ -115,7 +126,7 @@ def main():
             "speedup": round(m_b / m_i, 4),
             "bf16_spread_ms": round(s_b * 1e3, 2),
             "int8_spread_ms": round(s_i * 1e3, 2),
-            "significant": abs(m_b - m_i) > (s_b + s_i),
+            "significant": significant(m_b, m_i, s_b, s_i),
             "max_abs_diff": d0,
         }), flush=True)
 

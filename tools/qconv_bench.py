@@ -75,6 +75,20 @@ def measure(f, reps):
     return times[len(times) // 2]
 
 
+def select_sites(sites, only):
+    """INFODIFF_QCB_SITES filter: None/empty = all; otherwise the
+    comma-separated names, in table order. Unknown names are an error —
+    a typo must not silently produce an empty (vacuously "done") run."""
+    if not only:
+        return list(sites)
+    names = {s[0] for s in sites}
+    req = [n for n in only.split(",") if n]
+    unknown = [n for n in req if n not in names]
+    if unknown:
+        raise SystemExit(f"unknown site(s) {unknown}; have {sorted(names)}")
+    return [s for s in sites if s[0] in req]
+
+
 def main():
     reps = int(os.environ.get("INFODIFF_QCB_REPS", "7"))
     inner = int(os.environ.get("INFODIFF_QCB_INNER", "20"))
@@ -87,8 +101,7 @@ def main():
     def oracle(ps, A, Brow, absmax, k, b):
         return q.qconv_reference(ps, A, Brow, absmax, k, b, jnp.bfloat16)
 
-    only = os.environ.get("INFODIFF_QCB_SITES")
-    sites = [s for s in SITES if not only or s[0] in only.split(",")]
+    sites = select_sites(SITES, os.environ.get("INFODIFF_QCB_SITES"))
     for name, shapes, cout in sites:
         os.environ.pop("INFODIFF_QCONV_V2", None)
         t1 = measure(build(shapes, cout, fused, inner), reps)

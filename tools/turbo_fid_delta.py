@@ -49,6 +49,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def tier_verdict(delta, fid_bf16, floor):
+    """Invariance rule: the tier delta must sit within a few percent of
+    the bf16 score AND not orders above the real-vs-real floor. The
+    floor of a labeled-fallback FID is ~0, so the relative bound is the
+    operative one; with true Inception weights the 10x-floor bound
+    engages too."""
+    noise = max(abs(floor), 1e-6)
+    return (
+        "fid_invariant"
+        if delta <= max(0.03 * fid_bf16, 10.0 * noise)
+        else "fid_divergent"
+    )
+
+
 def sh(args, env=None, cwd=None):
     e = dict(os.environ)
     e.update(env or {})
@@ -142,7 +156,6 @@ def main():
     fid_int8 = compute_fid(img_dirs["int8"], **kwargs)
 
     delta = abs(fid_int8 - fid_bf16)
-    noise = max(abs(floor), 1e-6)
     rec = {
         "fid_bf16": round(float(fid_bf16), 4),
         "fid_int8": round(float(fid_int8), 4),
@@ -154,15 +167,7 @@ def main():
             "pt_inception" if os.environ.get("INFODIFF_INCEPTION_WEIGHTS")
             else "labeled-fallback"
         ),
-        # invariant = the tier delta is within a few percent of the
-        # bf16 score AND not orders above the real-vs-real floor; the
-        # floor of a labeled-fallback FID is ~0, so the relative bound
-        # is the operative one
-        "verdict": (
-            "fid_invariant"
-            if delta <= max(0.03 * fid_bf16, 10.0 * noise)
-            else "fid_divergent"
-        ),
+        "verdict": tier_verdict(delta, fid_bf16, floor),
     }
     print(json.dumps(rec))
     with open(os.path.join(work, "turbo_fid_delta.json"), "w") as f:
