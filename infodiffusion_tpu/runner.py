@@ -242,8 +242,14 @@ def _eval_encoder(cfg: Config, model):
 # (model, variables) pair for a whole eval mode, and re-calibrating per
 # batch would cost an extra jitted forward AND make each batch's int8
 # scales batch-dependent (unlike _encode_dataset, which calibrates once
-# on its first batch)
+# on its first batch). Entries store the variables object itself and
+# re-verify identity on hit: a bare id() key could alias a NEW dict
+# allocated at a recycled address after the old one is gc'd (two
+# checkpoints of one config evaluated in sequence) and silently serve
+# stale scales. The strong ref keeps the id valid while the entry
+# lives; FIFO eviction bounds what it pins.
 _ENCODER_QUANT_CACHE: dict = {}
+_ENCODER_QUANT_CACHE_MAX = 4
 
 
 def _encoder_quant(cfg: Config, model, variables, x):
@@ -261,11 +267,16 @@ def _encoder_quant(cfg: Config, model, variables, x):
     from infodiffusion_tpu.ops.quant import calibrate_encoder
 
     key = (model, mode, id(variables))
-    if key not in _ENCODER_QUANT_CACHE:
-        _ENCODER_QUANT_CACHE[key] = calibrate_encoder(
-            model, variables, x=x, mode=mode
+    hit = _ENCODER_QUANT_CACHE.get(key)
+    if hit is None or hit[0] is not variables:
+        while len(_ENCODER_QUANT_CACHE) >= _ENCODER_QUANT_CACHE_MAX:
+            _ENCODER_QUANT_CACHE.pop(next(iter(_ENCODER_QUANT_CACHE)))
+        hit = (
+            variables,
+            calibrate_encoder(model, variables, x=x, mode=mode),
         )
-    return _ENCODER_QUANT_CACHE[key]
+        _ENCODER_QUANT_CACHE[key] = hit
+    return hit[1]
 
 
 def _encode_dataset(cfg: Config, model, variables):
@@ -405,10 +416,6 @@ def train(cfg: Config, latent: bool = False):
                 and not os.environ.get("INFODIFF_PP_NO_DP"))
             else 1
         )
-        pp_mesh = (
-            make_dp_stage_mesh(dp_width, cfg.pp)
-            if dp_width > 1 else make_stage_mesh(cfg.pp)
-        )
         microbatches = int(
             os.environ.get("INFODIFF_PP_MICROBATCHES", str(cfg.pp))
         )
@@ -423,12 +430,20 @@ def train(cfg: Config, latent: bool = False):
                 f"{cfg.pp}; override with INFODIFF_PP_MICROBATCHES)"
             )
         if dp_width > 1 and (cfg.batch_size // microbatches) % dp_width:
-            raise ValueError(
-                f"microbatch size {cfg.batch_size // microbatches} must "
-                f"be divisible by the data-parallel width {dp_width} "
-                f"(dp x pp mesh; set INFODIFF_PP_NO_DP=1 to disable the "
-                f"data axis)"
+            # auto-enabled dp must never break an invocation that ran
+            # on the round-2 1-D stage mesh: fall back instead of
+            # erroring (an EXPLICIT opt-out still exists the other way,
+            # INFODIFF_PP_NO_DP=1)
+            print(
+                f"[pp] microbatch size {cfg.batch_size // microbatches} "
+                f"not divisible by the auto data-parallel width "
+                f"{dp_width}; falling back to the 1-D stage mesh"
             )
+            dp_width = 1
+        pp_mesh = (
+            make_dp_stage_mesh(dp_width, cfg.pp)
+            if dp_width > 1 else make_stage_mesh(cfg.pp)
+        )
         step_fn = make_pp_train_step(
             model, tx, pp_mesh, microbatches, ema_decay=cfg.ema_decay
         )

@@ -299,6 +299,44 @@ def test_gpipe_dp_composition_matches_sequential():
                                atol=1e-5)
 
 
+def test_gpipe_dp_composition_gradients_match_sequential():
+    """Gradients through the 2-D dp x pp mesh == sequential. The loss
+    check alone cannot see a mis-scaled/dropped psum of stage-param
+    cotangents over the added 'data' axis (the shard_map
+    check_rep=False transpose footgun) — the 1-D suite pins forward AND
+    gradients, so the composition must too."""
+    from infodiffusion_tpu.parallel.pp import make_dp_stage_mesh
+
+    _model, params = _params()
+    stacked = stack_latent_middle(params)
+    h, x, cond = _inputs()
+    mesh = make_dp_stage_mesh(2, N_STAGES)
+
+    def loss_seq(stacked_):
+        out = jax.vmap(
+            lambda h_, x_, c_: latent_middle_sequential(stacked_, h_, x_, c_)
+        )(h, x, cond)
+        return jnp.sum(jnp.square(out))
+
+    def loss_pp(stacked_):
+        staged = reshape_for_stages(stacked_, N_STAGES)
+        out = gpipe(
+            latent_mid_stage_fn(layers_per_stage=8 // N_STAGES),
+            staged, h, (x, cond), mesh=mesh,
+        )
+        return jnp.sum(jnp.square(out))
+
+    v1, g1 = jax.value_and_grad(loss_seq)(stacked)
+    v2, g2 = jax.value_and_grad(loss_pp)(stacked)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        ),
+        g1, g2,
+    )
+
+
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 devices for the 2x4 mesh"
 )

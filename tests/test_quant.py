@@ -407,3 +407,41 @@ def test_runner_encoder_quant_gated_on_turbo():
     assert _encoder_quant(cfg, model, v, x) is None
     q = _encoder_quant(cfg.replace(turbo="int8"), model, v, x)
     assert q is not None and len(jax.tree.leaves(q)) > 0
+
+
+def test_runner_encoder_quant_cache_identity_guard():
+    """The calibration cache must re-verify the VARIABLES OBJECT on
+    hit, not trust id() alone: a new dict allocated at a recycled
+    address (two checkpoints of one config evaluated in sequence) must
+    recalibrate, never serve the old checkpoint's scales."""
+    from infodiffusion_tpu import runner
+    from infodiffusion_tpu.config import Config
+    from infodiffusion_tpu.runner import _encoder_quant
+
+    model = _tiny_infodiff()
+    x = jnp.zeros((2, 16, 16, 1))
+    v1 = jax.jit(
+        lambda: model.init(
+            {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
+             "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)},
+            x, 0, method=type(model).loss_fn,
+        )
+    )()
+    cfg = Config(model="diff", dataset="mnist", a_dim=4, input_size=16,
+                 turbo="int8")
+    q1 = _encoder_quant(cfg, model, v1, x)
+    # same object => cache hit (identical collection object back)
+    assert _encoder_quant(cfg, model, v1, x) is q1
+    # simulate an id() collision: a DIFFERENT variables dict whose key
+    # aliases v1's entry — the identity check must force recalibration
+    v2 = dict(v1)
+    assert v2 is not v1
+    key = (model, "int8", id(v2))
+    runner._ENCODER_QUANT_CACHE[key] = (v1, q1)
+    q2 = _encoder_quant(cfg, model, v2, x)
+    assert runner._ENCODER_QUANT_CACHE[key][0] is v2
+    assert q2 is not q1
+    # eviction keeps the cache bounded
+    assert len(runner._ENCODER_QUANT_CACHE) <= (
+        runner._ENCODER_QUANT_CACHE_MAX
+    )

@@ -102,13 +102,18 @@ def main():
         packed_q = quantize_packed_weights(packed)
         xT = jr.normal(jr.PRNGKey(3), (B, a_dim), jnp.bfloat16)
 
-        def run(pk):
-            f = jax.jit(
-                lambda k, xT_: latent_trajectory_pallas(
-                    pk, sched, xT_, k, deterministic=True
-                )
+        # packed weights ride as a jit ARGUMENT, never a closure
+        # constant (CLAUDE.md BENCHMARK TRAP 1: constants disable XLA's
+        # layout/donation handling and once made the latent MLP look 4x
+        # slower) — matching how the product sampler passes params
+        f = jax.jit(
+            lambda pk_, k, xT_: latent_trajectory_pallas(
+                pk_, sched, xT_, k, deterministic=True
             )
-            return lambda k: f(k, xT)
+        )
+
+        def run(pk):
+            return lambda k, pk=pk: f(pk, k, xT)
 
         f_bf16, f_int8 = run(packed), run(packed_q)
         # parity spot check on identical keys

@@ -208,7 +208,8 @@ def _parse_shapes(line: str):
 
 
 def _nbytes(dtype: str, dims) -> int:
-    per = {"bf16": 2, "f32": 4, "s8": 1, "s32": 4}[dtype]
+    # must cover every dtype _SHAPE_RE matches (u8: the D21 loader path)
+    per = {"bf16": 2, "f32": 4, "s8": 1, "s32": 4, "u8": 1}[dtype]
     n = per
     for d in dims:
         n *= d
@@ -316,12 +317,16 @@ def main():
         out = fwd(*fargs)
         float(jnp.mean(out))  # fetch-sync (CLAUDE.md trap 2)
         reps = 20
+        # pre-build the per-rep varied args OUTSIDE the timed window:
+        # each eager .at[].set is a ~100ms host round-trip over the
+        # tunnel and would otherwise serialize between timed forwards
+        varied = [fargs[3].at[0, 0].set(float(i)) for i in range(reps)]
+        jax.block_until_ready(varied)
         t0 = time.perf_counter()
         for i in range(reps):
             # vary an arg per rep so the tunnel can't serve a cached
             # execution (CLAUDE.md trap 2)
-            a = fargs[3].at[0, 0].set(float(i))
-            out = fwd(fargs[0], fargs[1], fargs[2], a)
+            out = fwd(fargs[0], fargs[1], fargs[2], varied[i])
         float(jnp.mean(out))
         dt = (time.perf_counter() - t0) / reps
         print(f"\nforward: {dt * 1e3:.2f} ms "

@@ -65,7 +65,8 @@ def build(shapes, cout, fn, inner):
 
 
 def measure(f, reps):
-    f(jr.PRNGKey(99))  # compile
+    # fetch-sync the warmup too, or rep 0 also waits on its execution
+    float(f(jr.PRNGKey(99)))  # compile + warm
     times = []
     for i in range(reps):
         t0 = time.perf_counter()

@@ -93,6 +93,11 @@ def dump_real_halves(work: str, n: int, size: int):
 
 
 def main():
+    # the tool scores FID in-process (not just via run.py subprocesses),
+    # so honor the CLI's CPU-forcing knob here too (tunnel-down runs)
+    from infodiffusion_tpu.cache import force_cpu_if_requested
+
+    force_cpu_if_requested()
     work = os.environ.get("INFODIFF_TFD_DIR") or tempfile.mkdtemp(
         prefix="turbo_fid_"
     )
