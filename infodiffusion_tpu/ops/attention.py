@@ -2,10 +2,14 @@
 
 The reference computes ``softmax(q k^T / sqrt(C)) v`` over H*W tokens
 with single-head 1x1-conv projections (reference: modules.py:145-164).
-Token counts here are small (<= 256 at the attn level for 64px inputs),
-so the win on TPU is keeping everything in VMEM and fusing the softmax —
-a classic flash-attention-style Pallas kernel, with an XLA einsum
-fallback that is already near-roofline at these sizes.
+Token counts at the attn level are small for reference-scale inputs
+(256 at 64px, where the XLA einsum is already near-roofline and is the
+measured default), but grow quadratically with resolution: at the
+beyond-reference 256px datapoint N=4096 and XLA materializes the
+[B, N, N] f32 logits to HBM. Large-N calls therefore route through the
+flash-style q-tiled kernel (ops/pallas/flash_attention.py) on TPU when
+N >= INFODIFF_FLASH_ATTN_MIN_TOKENS; see that module for the gate and
+measurement.
 
 Softmax/logit math runs in f32 even when activations are bf16.
 """
@@ -56,6 +60,17 @@ def single_head_attention(
 
         mesh, axis = route
         return ring_attention(q, k, v, mesh=mesh, axis=axis)
+    from infodiffusion_tpu.ops.pallas.flash_attention import flash_enabled
+
+    if flash_enabled(q.shape[1]):
+        from infodiffusion_tpu.ops.pallas.flash_attention import (
+            flash_attention,
+        )
+
+        try:
+            return flash_attention(q, k, v)
+        except NotImplementedError:
+            pass
     if _use_pallas():
         from infodiffusion_tpu.ops.pallas.attention import attention_pallas
 

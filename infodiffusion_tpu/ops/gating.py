@@ -17,6 +17,17 @@ is the default everywhere and the kernels are opt-in:
   planning at this model scale (fusion-boundary analysis in its
   docstring).
 - ``INFODIFF_DISABLE_PALLAS=1``     : force the XLA paths everywhere.
+
+Two kernels run by DEFAULT on TPU because they measured ahead of XLA
+(each with its own revert flag, not the umbrella opt-in):
+
+- the whole-trajectory latent sampler (ops/pallas/latent_traj.py,
+  round 2: +16% end-to-end; ``INFODIFF_DISABLE_FUSED_LATENT_TRAJ=1``)
+- flash attention for LARGE token counts only
+  (ops/pallas/flash_attention.py, round 4, N >=
+  ``INFODIFF_FLASH_ATTN_MIN_TOKENS`` — beyond-reference resolutions;
+  the reference-scale N=256 sites stay on the measured XLA path;
+  ``INFODIFF_DISABLE_FLASH_ATTENTION=1``)
 """
 
 from __future__ import annotations

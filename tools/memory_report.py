@@ -10,6 +10,9 @@ the compiler's static analysis is the reliable source here.
 
 Usage:  python tools/memory_report.py            # flagship b128 bf16
         INFODIFF_BENCH_BATCH=256 python tools/memory_report.py
+        INFODIFF_BENCH_SIZE=256 ... # beyond-reference resolutions
+                                    # (same knob as bench.py)
+        INFODIFF_MEMREPORT_PROGRAMS=sampler  # or train / both (default)
 """
 
 import os
@@ -57,6 +60,7 @@ def _report(name, compiled):
 
 def main():
     batch = int(os.environ.get("INFODIFF_BENCH_BATCH", "128"))
+    size = int(os.environ.get("INFODIFF_BENCH_SIZE", "64"))
     use_bf16 = os.environ.get("INFODIFF_BENCH_BF16", "1") == "1"
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
@@ -67,29 +71,34 @@ def main():
     )
 
     model = InfoDiff(
-        T=1000, a_dim=256, shape=(3, 64, 64), unets_channels=64,
+        T=1000, a_dim=256, shape=(3, size, size), unets_channels=64,
         encoder_channels=64, mmd_weight=0.1, epochs=50, dtype=dtype,
     )
-    print(f"flagship CelebA-64 InfoDiff, batch {batch}, "
+    print(f"flagship InfoDiff at {size}px, batch {batch}, "
           f"{'bf16' if use_bf16 else 'f32'} activations, "
           f"backend {jax.default_backend()}")
 
+    programs = os.environ.get("INFODIFF_MEMREPORT_PROGRAMS", "both")
+
     # --- train step (donated buffers, the production configuration) ---
-    x = jr.normal(jr.PRNGKey(0), (batch, 64, 64, 3))
-    tx = make_optimizer(1e-4, 50, 1000)
-    state = create_train_state(model, jr.PRNGKey(0), x, tx)
-    step = make_train_step(model, tx, donate=True)
-    lowered = jax.jit(
-        step._fun if hasattr(step, "_fun") else step,
-        donate_argnums=(0,),
-    ).lower(state, x, 0) if not hasattr(step, "lower") else step.lower(
-        state, x, 0
-    )
-    _report("train step", lowered.compile())
+    if programs in ("both", "train"):
+        x = jr.normal(jr.PRNGKey(0), (batch, size, size, 3))
+        tx = make_optimizer(1e-4, 50, 1000)
+        state = create_train_state(model, jr.PRNGKey(0), x, tx)
+        step = make_train_step(model, tx, donate=True)
+        lowered = jax.jit(
+            step._fun if hasattr(step, "_fun") else step,
+            donate_argnums=(0,),
+        ).lower(state, x, 0) if not hasattr(step, "lower") else step.lower(
+            state, x, 0
+        )
+        _report("train step", lowered.compile())
+    if programs == "train":
+        return
 
     # --- DDIM-100 sampler ---
     sched = make_schedule(1e-5, 1e-2, 1000)
-    x0 = jnp.zeros((1, 64, 64, 3))
+    x0 = jnp.zeros((1, size, size, 3))
     rngs = {"params": jr.PRNGKey(0), "noise": jr.PRNGKey(1),
             "reparam": jr.PRNGKey(2), "dropout": jr.PRNGKey(3)}
     variables = jax.jit(
@@ -104,7 +113,7 @@ def main():
             sched, xT, key, a, num_steps=100,
         )
 
-    xT = jr.normal(jr.PRNGKey(0), (batch, 64, 64, 3))
+    xT = jr.normal(jr.PRNGKey(0), (batch, size, size, 3))
     a = jr.normal(jr.PRNGKey(0), (batch, 256))
     _report("DDIM-100 sampler",
             sample.lower(variables, xT, a, jr.PRNGKey(0)).compile())
