@@ -423,9 +423,16 @@ class DiffusionProcess:
         if self.is_conditional and a is None:
             a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
         params, (xT, a) = _shard_for_mesh(self.mesh, self.params, [xT, a])
-        if num_steps is not None:
-            return self._jit_strided(params, xT, a, k_s, num_steps=num_steps)
-        return self._jit_sample(params, xT, a, k_s)
+        # trace-time kernel gate: default-ON pallas kernels fall back to
+        # the GSPMD-partitioned XLA paths under a non-trivial mesh
+        from infodiffusion_tpu.ops.gating import mesh_compute_scope
+
+        with mesh_compute_scope(self.mesh):
+            if num_steps is not None:
+                return self._jit_strided(
+                    params, xT, a, k_s, num_steps=num_steps
+                )
+            return self._jit_sample(params, xT, a, k_s)
 
     def reverse_sampling(self, x0, a=None, key=None):
         return self._jit_reverse(self.params, x0, a, key)
@@ -511,7 +518,10 @@ class TwoPhaseDiffusionProcess:
             a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
         params1, (xT, a) = _shard_for_mesh(self.mesh, self.params1, [xT, a])
         params2, _ = _shard_for_mesh(self.mesh, self.params2, [xT])
-        return self._jit_sample(params1, params2, xT, a, k_s)
+        from infodiffusion_tpu.ops.gating import mesh_compute_scope
+
+        with mesh_compute_scope(self.mesh):
+            return self._jit_sample(params1, params2, xT, a, k_s)
 
     def reverse_sampling(self, x0, a=None, key=None):
         return self._jit_reverse(self.params1, x0, a, key)
@@ -688,7 +698,10 @@ class LatentDiffusionProcess:
         if xT is None:
             xT = jr.normal(k_x, (sampling_number, self.cfg.a_dim))
         params, (xT,) = _shard_for_mesh(self.mesh, self.params, [xT])
-        return self._jit_sample(params, xT, k_s)
+        from infodiffusion_tpu.ops.gating import mesh_compute_scope
+
+        with mesh_compute_scope(self.mesh):
+            return self._jit_sample(params, xT, k_s)
 
     def reverse_sampling(self, x0):
         return self._jit_reverse(self.params, x0)

@@ -189,7 +189,40 @@ class TADMetric:
 
     def aurocs_search(self, a: np.ndarray, y: np.ndarray) -> np.ndarray:
         """[y_dim, a_dim] best-of-both-signs AUROC grid
-        (reference: eval_disentanglement.py:285-297)."""
+        (reference: eval_disentanglement.py:285-297), vectorized.
+
+        AUROC of a score column against a binary label IS the
+        Mann-Whitney U statistic over midranks (ties averaged — exactly
+        sklearn's trapezoidal ROC value), so the whole grid is ONE
+        rankdata per latent column plus ONE [y_dim, n] @ [n, a_dim]
+        matmul: auroc[i, j] = (sum of positive-row ranks − n1(n1+1)/2)
+        / (n1 * n0). This replaces the reference's per-pair sklearn
+        loop — 40 × 256 = 10,240 roc_auc_score calls per fold on the
+        celeba protocol (round-4 VERDICT item 8). Oracle-pinned equal
+        to the sklearn loop in tests/test_metrics.py."""
+        a = np.asarray(a, np.float64)
+        y = np.asarray(y)
+        n = a.shape[0]
+        y_dim = y.shape[1]
+        ranks = scipy.stats.rankdata(a, method="average", axis=0)  # [n, A]
+        # positive class = the greater label (sklearn's convention for
+        # binary labels); constant columns are degenerate -> 0.5
+        col_max = y.max(axis=0)
+        valid = col_max != y.min(axis=0)
+        pos = (y == col_max[None, :]).astype(np.float64)  # [n, y_dim]
+        n1 = pos.sum(axis=0)
+        n0 = n - n1
+        r1 = pos.T @ ranks  # [y_dim, a_dim] sum of positive-row ranks
+        denom = np.where(valid, n1 * n0, 1.0)
+        auc = (r1 - (n1 * (n1 + 1.0) / 2.0)[:, None]) / denom[:, None]
+        out = np.maximum(auc, 1.0 - auc)  # == max(auroc(a), auroc(-a))
+        out[~valid] = 0.5
+        assert out.shape == (y_dim, a.shape[1])
+        return out
+
+    def aurocs_search_sklearn(self, a: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """The reference's per-pair sklearn loop, kept as the numeric
+        oracle for the vectorized grid above."""
         from sklearn.metrics import roc_auc_score
 
         y_dim, a_dim = y.shape[1], a.shape[1]

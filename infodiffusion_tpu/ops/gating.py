@@ -32,9 +32,40 @@ Two kernels run by DEFAULT on TPU because they measured ahead of XLA
 
 from __future__ import annotations
 
+import contextlib
+import math
 import os
 
 import jax
+
+# Process-global record of the mesh the surrounding program is sharded
+# over (samplers' mesh path, the runner's dp/fsdp/tp train step). The
+# default-ON kernels consult it: a pallas_call traced under a GSPMD-
+# sharded jit is NOT validated to partition over the mesh (it may
+# replicate or fail), so kernels refuse when a non-trivial mesh is
+# active and the XLA path — which GSPMD partitions natively — runs
+# instead. Same process-global pattern as parallel/sp.py (round-4
+# advisor finding on flash attention under sharded sampling).
+_MESH_STATE = {"size": 1}
+
+
+def active_mesh_size() -> int:
+    return _MESH_STATE["size"]
+
+
+@contextlib.contextmanager
+def mesh_compute_scope(mesh):
+    """Mark a region whose jitted programs are sharded over ``mesh``
+    (None or a 1-device mesh = trivial, leaves kernels enabled)."""
+    size = 1
+    if mesh is not None:
+        size = int(math.prod(mesh.shape.values())) if mesh.shape else 1
+    prev = _MESH_STATE["size"]
+    _MESH_STATE["size"] = size
+    try:
+        yield
+    finally:
+        _MESH_STATE["size"] = prev
 
 
 def pallas_enabled(env_var: str = "INFODIFF_ENABLE_PALLAS") -> bool:

@@ -13,16 +13,21 @@ Shape strategy (differs from the round-1 whole-[N,N] kernel in
 ops/pallas/attention.py, which requires the full logits square to fit
 in VMEM and therefore caps at N≈1.5k): one grid step owns a [BQ, C]
 query tile; the WHOLE [N, C] k and v ride in VMEM (C=128 at every
-reference attention site, so k+v are ~1-4 MB up to N=16k — two orders
-below the [N,N] square), and the [BQ, N] logits strip lives only in
-registers/VMEM scratch of that step. Softmax is computed on the full
-row strip — no online-rescaling pass is needed because the row is
-complete inside the step, which keeps the kernel a straight-line
-matmul -> softmax -> matmul at f32 statistics precision, numerically
-identical to the XLA path up to reassociation. The k/v BlockSpec index
-map depends only on the batch coordinate, so Mosaic's revolving-buffer
-pipeline fetches k/v ONCE per batch element and streams q tiles across
-the inner grid dimension.
+reference attention site, so k+v in bf16 are 0.5 MB at N=1024, 2 MB at
+N=4096, and hit the 8 MB ``_KV_BUDGET`` exactly at the N=16384
+envelope edge — still an order below the [N,N] square), and the
+[BQ, N] logits strip lives only in registers/VMEM scratch of that
+step. At the envelope edge the resident plan (k+v 8 MB + 4 MB strip +
+q/o tiles) peaks near ~12 MB of the ~16 MB/core VMEM — tight by
+design there; at the flagship beyond-reference sites (N ≤ 4096) it is
+≤ 6 MB with ample double-buffering headroom. Softmax is computed on
+the full row strip — no online-rescaling pass is needed because the
+row is complete inside the step, which keeps the kernel a
+straight-line matmul -> softmax -> matmul at f32 statistics precision,
+numerically identical to the XLA path up to reassociation. The k/v
+BlockSpec index map depends only on the batch coordinate, so Mosaic's
+revolving-buffer pipeline fetches k/v ONCE per batch element and
+streams q tiles across the inner grid dimension.
 
 HBM traffic per batch element drops from O(N^2) (logits out + weights
 back in) to O(N*C + N^2/BQ * 0) = the q/k/v/o tensors themselves; the
@@ -48,6 +53,29 @@ model predicts. Default-ON on TPU for N >=
 INFODIFF_FLASH_ATTN_MIN_TOKENS (default 512, the measured crossover);
 max |diff| vs the XLA path is one bf16 ulp at every config.
 INFODIFF_DISABLE_FLASH_ATTENTION=1 force-reverts to XLA everywhere.
+
+Autodiff (round 5, closing the round-4 VERDICT defect): the op is a
+``jax.custom_vjp``. The backward is its own Pallas kernel with the
+same shape strategy — per-q-tile recompute of the [BQ, N] softmax
+strip from the saved q/k/v residuals (recompute-style flash VJP: the
+strip is cheaper to re-form than to round-trip through HBM), then
+
+    dp    = do @ v^T                      [BQ, N]
+    delta = rowsum(w * dp)                [BQ, 1]   (softmax VJP stat)
+    ds    = w * (dp - delta) * scale      [BQ, N]
+    dq    = ds @ k                        [BQ, C]   (per-tile write)
+    dk   += ds^T @ q                      [N, C]    (f32 accumulator)
+    dv   += w^T @ do                      [N, C]    (f32 accumulator)
+
+dk/dv are revisited output blocks (index map depends only on the batch
+coordinate): zero-initialized at the first q tile and accumulated in
+f32 across the inner grid dimension, cast to the input dtype outside
+the kernel. The [BQ, N] strips (w, dp, ds) never leave the core, so
+the backward keeps the forward's O(N*C) HBM traffic. Outside the
+backward envelope (f32 dk+dv accumulators over ``_ACC_BUDGET``) the
+VJP falls back to the dense XLA gradient — correct, just logits-in-HBM
+at those sizes. Grad parity vs the XLA path is pinned in
+tests/test_flash_attention.py (interpret f32/bf16 + TPU smoke).
 """
 
 from __future__ import annotations
@@ -61,10 +89,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # the [BQ, N] f32 logits strip is the dominant VMEM tenant; cap it so
-# strip + k + v + q/o tiles stay well inside ~16 MB/core
+# strip + k + v + q/o tiles stay inside ~16 MB/core (see the docstring
+# for the plan arithmetic at the envelope edge)
 _LOGITS_BUDGET = 4 * 1024 * 1024
 # k and v ride whole; bound their combined VMEM footprint
 _KV_BUDGET = 8 * 1024 * 1024
+# backward: the f32 dk+dv accumulators also ride whole per batch
+# element; beyond this the VJP falls back to the dense XLA gradient
+_ACC_BUDGET = 8 * 1024 * 1024
 
 
 def flash_min_tokens() -> int:
@@ -75,11 +107,18 @@ def flash_enabled(n_tokens: int) -> bool:
     """TPU routing gate for large-N attention; the dense XLA path
     stays the default below the threshold (where it measured faster in
     round 1). Threshold and default set by the round-4 measurement
-    recorded in STATUS.md. INFODIFF_DISABLE_FLASH_ATTENTION=1 reverts
-    everywhere."""
+    recorded in STATUS.md. Refuses when a non-trivial mesh is active
+    (ops/gating.py mesh_compute_scope): a pallas_call under a
+    GSPMD-sharded jit is unvalidated, so sharded sampling/training
+    keeps the natively-partitioned XLA path (round-4 advisor finding).
+    INFODIFF_DISABLE_FLASH_ATTENTION=1 reverts everywhere."""
     if os.environ.get("INFODIFF_DISABLE_FLASH_ATTENTION") == "1":
         return False
     if n_tokens < flash_min_tokens():
+        return False
+    from infodiffusion_tpu.ops.gating import active_mesh_size
+
+    if active_mesh_size() > 1:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -93,6 +132,15 @@ def _pick_block_q(n: int, c: int) -> int:
     (beyond it the strip crowds out k/v double buffering)."""
     bq = 512
     while bq > 8 and (bq * n * 4 > _LOGITS_BUDGET or n % bq != 0):
+        bq //= 2
+    return bq
+
+
+def _pick_block_q_bwd(n: int, c: int) -> int:
+    """The backward holds ~3 live [BQ, N] f32 strips (w, dp, ds), so
+    its q tile gets a third of the strip budget."""
+    bq = 512
+    while bq > 8 and (3 * bq * n * 4 > _LOGITS_BUDGET or n % bq != 0):
         bq //= 2
     return bq
 
@@ -117,24 +165,65 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def flash_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    *,
-    block_q: int | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """q, k, v: [B, N, C] -> [B, N, C]; raises NotImplementedError for
-    shapes outside the kernel's envelope (caller falls back to XLA)."""
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float
+):
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    # recompute the softmax strip exactly as the forward formed it
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)  # [BQ, N] f32
+    # dp = do @ v^T, f32 accumulation on the MXU
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # softmax VJP on the complete row: ds = w * (dp - rowsum(w*dp));
+    # the logits scale folds in here (logits = (q k^T) * scale)
+    delta = jnp.sum(w * dp, axis=-1, keepdims=True)
+    ds = (w * (dp - delta)) * scale  # [BQ, N] f32
+    # MXU matmuls run in the input dtype (mirrors what XLA's own bf16
+    # backward does); accumulation stays f32
+    ds_c = ds.astype(q.dtype)
+    w_c = w.astype(v.dtype)
+    dq = jax.lax.dot_general(
+        ds_c, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_c = jax.lax.dot_general(
+        ds_c, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_c = jax.lax.dot_general(
+        w_c, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    # dk/dv output blocks are revisited across the inner (q-tile) grid
+    # dimension: zero once, then accumulate in f32
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    dk_ref[0] += dk_c
+    dv_ref[0] += dv_c
+
+
+def _check_envelope(q) -> None:
     B, N, C = q.shape
     itemsize = jnp.dtype(q.dtype).itemsize
     if 2 * N * C * itemsize > _KV_BUDGET:
         raise NotImplementedError("k/v exceed the whole-tensor VMEM plan")
-    bq = block_q or _pick_block_q(N, C)
-    if N % bq != 0:
-        raise NotImplementedError("token count not divisible by q tile")
+
+
+def _fwd_call(q, k, v, bq: int, interpret: bool):
+    B, N, C = q.shape
+    itemsize = jnp.dtype(q.dtype).itemsize
     scale = float(C) ** -0.5
     q_spec = pl.BlockSpec(
         (1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -155,3 +244,102 @@ def flash_attention(
         ),
         interpret=interpret,
     )(q, k, v)
+
+
+def _bwd_call(q, k, v, do, interpret: bool):
+    """Pallas backward; raises NotImplementedError outside the
+    accumulator envelope (the caller falls back to the dense VJP)."""
+    B, N, C = q.shape
+    itemsize = jnp.dtype(q.dtype).itemsize
+    if 2 * N * C * 4 > _ACC_BUDGET:
+        raise NotImplementedError("f32 dk/dv accumulators exceed VMEM plan")
+    bq = _pick_block_q_bwd(N, C)
+    if N % bq != 0:
+        raise NotImplementedError("token count not divisible by q tile")
+    scale = float(C) ** -0.5
+    q_spec = pl.BlockSpec(
+        (1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, N, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(B, N // bq),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), q.dtype),
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * B * N * N * C,
+            bytes_accessed=7 * B * N * C * itemsize,
+            transcendentals=B * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _dense_vjp(q, k, v, do):
+    """Dense XLA gradient (same math as ops/attention._attention_xla,
+    restated locally to avoid a circular import) — the fallback when
+    the backward kernel's envelope is exceeded."""
+
+    def dense(q_, k_, v_):
+        C = q_.shape[-1]
+        logits = jnp.einsum(
+            "bnc,bmc->bnm", q_, k_, preferred_element_type=jnp.float32
+        ) * (C ** -0.5)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bnm,bmc->bnc", w.astype(v_.dtype), v_,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(v_.dtype)
+
+    _, vjp = jax.vjp(dense, q, k, v)
+    return vjp(do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, bq: int, interpret: bool):
+    return _fwd_call(q, k, v, bq, interpret)
+
+
+def _flash_fwd(q, k, v, bq: int, interpret: bool):
+    out = _fwd_call(q, k, v, bq, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(bq: int, interpret: bool, res, do):
+    q, k, v = res
+    try:
+        return _bwd_call(q, k, v, do, interpret)
+    except NotImplementedError:
+        return _dense_vjp(q, k, v, do)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    block_q: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q, k, v: [B, N, C] -> [B, N, C]; raises NotImplementedError for
+    shapes outside the kernel's envelope (caller falls back to XLA).
+    Differentiable: see the module docstring for the VJP kernel."""
+    B, N, C = q.shape
+    _check_envelope(q)
+    bq = block_q or _pick_block_q(N, C)
+    if N % bq != 0:
+        raise NotImplementedError("token count not divisible by q tile")
+    return _flash(q, k, v, bq, interpret)

@@ -488,12 +488,19 @@ def train(cfg: Config, latent: bool = False):
         prev_handler = signal.signal(signal.SIGTERM, request_preempt)
     preempt_after = int(os.environ.get("INFODIFF_PREEMPT_AFTER_STEPS", "0"))
     host_steps = 0
+    # default-ON Pallas kernels refuse inside this scope when the mesh
+    # is non-trivial (a pallas_call under GSPMD-sharded jit is
+    # unvalidated — ops/gating.py); single-device runs are unaffected
+    from infodiffusion_tpu.ops.gating import mesh_compute_scope
+
+    active_mesh = pp_mesh if use_pp else mesh
     try:
-        return _train_loop(
-            cfg, loader, state, step_fn, start_epoch, losses, progress,
-            log_every, profile_dir, profile_state, writer, ckpt_root,
-            preempt_after, host_steps,
-        )
+        with mesh_compute_scope(active_mesh):
+            return _train_loop(
+                cfg, loader, state, step_fn, start_epoch, losses, progress,
+                log_every, profile_dir, profile_state, writer, ckpt_root,
+                preempt_after, host_steps,
+            )
     finally:
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)

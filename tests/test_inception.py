@@ -380,3 +380,63 @@ def test_verify_inception_weights_tool(tmp_path):
     # nonexistent path
     v = viw.verify(str(tmp_path / "nope.pth"))
     assert not v["usable"]
+
+
+def test_fid_cli_with_weights_env_uses_inception_not_fallback(tmp_path):
+    """Round-4 VERDICT item 9: drill the real-weights path through the
+    ACTUAL CLI shims (gen_fid_stats.py / calc_fid.py subprocesses) with
+    INFODIFF_INCEPTION_WEIGHTS set to a schema-exact fixture — the
+    'auto' extractor must pick the JAX pt_inception network, the
+    labeled-fallback warning must disappear, and the stats artifact
+    must record the inception tag. The day a real weights file lands,
+    only the env var changes (reference: calc_fid.py:6-14)."""
+    import subprocess
+    import sys as _sys
+
+    from PIL import Image
+
+    ckpt = tmp_path / "pt_inception-fixture.pth"
+    torch.save(make_state_dict(seed=5), ckpt)
+    rng = np.random.RandomState(6)
+    real = tmp_path / "real"
+    gen = tmp_path / "gen"
+    real.mkdir(), gen.mkdir()
+    for i in range(4):
+        Image.fromarray(
+            rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        ).save(real / f"r{i}.png")
+        Image.fromarray(
+            rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        ).save(gen / f"g{i}.png")
+
+    env = dict(os.environ)
+    env.update(
+        INFODIFF_INCEPTION_WEIGHTS=str(ckpt),
+        INFODIFF_FID_STATS_DIR=str(tmp_path / "stats"),
+        INFODIFF_FORCE_CPU="1",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r1 = subprocess.run(
+        [_sys.executable, os.path.join(repo, "gen_fid_stats.py"),
+         "drill_set", str(real)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr
+    r2 = subprocess.run(
+        [_sys.executable, os.path.join(repo, "calc_fid.py"),
+         "drill_set", str(gen)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr
+    for r in (r1, r2):
+        blob = r.stdout + r.stderr
+        assert "random-conv" not in blob and "fallback" not in blob, (
+            "labeled-fallback extractor engaged despite "
+            "INFODIFF_INCEPTION_WEIGHTS:\n" + blob
+        )
+        assert "could not load" not in blob, blob
+    assert "fid: score:" in r2.stdout and "kid: score:" in r2.stdout
+    stats_files = os.listdir(tmp_path / "stats")
+    assert stats_files == ["drill_set_inception-jax.npz"], stats_files
+    score = float(r2.stdout.split("fid: score:")[1].split()[0])
+    assert np.isfinite(score)

@@ -212,3 +212,26 @@ def test_iter_folder_native_size_batching(tmp_path):
     assert [b.shape for b in batches] == [(2, 32, 32, 3), (1, 48, 48, 3)]
     batches64 = list(_iter_folder(str(tmp_path), 64, batch=8))
     assert [b.shape for b in batches64] == [(3, 64, 64, 3)]
+
+
+def test_aurocs_search_vectorized_matches_sklearn_loop():
+    """The Mann-Whitney midrank grid must equal the reference-style
+    per-pair sklearn loop exactly, including tied scores, degenerate
+    (constant) attributes, and non-{0,1} binary labels (round-4 VERDICT
+    item 8)."""
+    rng = np.random.RandomState(3)
+    n, a_dim, y_dim = 120, 7, 5
+    a = rng.randn(n, a_dim)
+    a[:, 2] = np.round(a[:, 2])  # heavy ties -> midrank handling
+    a[:, 5] = 0.0                # constant latent column
+    y = np.zeros((n, y_dim))
+    y[:, 0] = a[:, 0] > 0
+    y[:, 1] = rng.rand(n) < 0.3
+    y[:, 2] = 1.0                # degenerate attribute -> 0.5 row
+    y[:, 3] = np.where(a[:, 1] > 0.5, 2.0, -1.0)  # labels {-1, 2}
+    y[:, 4] = a[:, 2] > 0
+    tad = TADMetric(y_dim, [f"t{i}" for i in range(y_dim)])
+    got = tad.aurocs_search(a, y)
+    want = tad.aurocs_search_sklearn(a, y)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    assert np.all(got[2] == 0.5)

@@ -1367,3 +1367,75 @@ def test_vae_composite_loss_matches_reference(
         prior_samples=(jnp.asarray(prior) if mmd_w != 0 else None),
     )
     np.testing.assert_allclose(want, float(loss), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Offline-metric oracles: the SAME latents/factors through the reference
+# functions and ours (round-4 VERDICT item 7 — DCI was structure-tested
+# but never numerically pinned; TAD pinned end-to-end here too).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_disent(ref):
+    """The reference eval_disentanglement module (imports torch/sklearn
+    and `from utils import ...`, both resolvable inside REF)."""
+    sys.path.insert(0, REF)
+    try:
+        import eval_disentanglement as ref_ed
+    finally:
+        sys.path.remove(REF)
+    return ref_ed
+
+
+def test_dci_matches_reference_function(ref_disent):
+    """compute_dci on identical inputs: sklearn's default
+    GradientBoostingClassifier is deterministic (subsample=1.0, all
+    features), so every score must agree to f64 roundoff
+    (reference: eval_disentanglement.py:88-150)."""
+    from infodiffusion_tpu.metrics import compute_dci
+
+    rng = np.random.RandomState(42)
+    n_codes, n_factors, n = 5, 3, 150
+    codes_tr = rng.randn(n_codes, n)
+    codes_te = rng.randn(n_codes, n // 2)
+    # factors driven by individual codes so the trees find structure
+    ys_tr = np.stack([(codes_tr[i] > 0).astype(int) + (codes_tr[i] > 1)
+                      for i in range(n_factors)])
+    ys_te = np.stack([(codes_te[i] > 0).astype(int) + (codes_te[i] > 1)
+                      for i in range(n_factors)])
+    want = ref_disent.compute_dci(codes_tr, ys_tr, codes_te, ys_te)
+    got = compute_dci(codes_tr, ys_tr, codes_te, ys_te)
+    for key in ("disentanglement", "completeness",
+                "informativeness_train", "informativeness_test"):
+        np.testing.assert_allclose(
+            got[key], want[key], atol=1e-10, err_msg=key
+        )
+    np.testing.assert_allclose(got["importance"], want["importance"],
+                               atol=1e-10)
+
+
+def test_tad_matches_reference_evaluate(ref_disent):
+    """TADMetric.evaluate end-to-end on identical inputs: score,
+    captured-attribute count, and the full AUROC grid (our vectorized
+    Mann-Whitney grid + matmul MI vs the reference's torch loops;
+    reference: eval_disentanglement.py:236-363)."""
+    from infodiffusion_tpu.metrics import TADMetric
+
+    rng = np.random.RandomState(7)
+    n, a_dim, y_dim = 400, 6, 5
+    a = rng.randn(n, a_dim).astype(np.float32)
+    y = np.zeros((n, y_dim), dtype=np.int64)
+    y[:, 0] = a[:, 0] > 0          # cleanly captured by latent 0
+    y[:, 1] = a[:, 1] + 0.3 * rng.randn(n) > 0   # noisier detector
+    y[:, 2] = y[:, 0] ^ (rng.rand(n) < 0.05)     # MI-redundant with y0
+    y[:, 3] = rng.rand(n) < 0.5    # pure noise attribute
+    y[:, 4] = (a[:, 2] + a[:, 3]) > 0            # entangled pair
+    names = [f"attr{i}" for i in range(y_dim)]
+    want_score, want_grid, want_k = ref_disent.TADMetric(
+        y_dim, names
+    ).evaluate(a, y)
+    got_score, got_grid, got_k = TADMetric(y_dim, names).evaluate(a, y)
+    np.testing.assert_allclose(got_grid, want_grid, atol=1e-5)
+    assert got_k == want_k
+    np.testing.assert_allclose(got_score, want_score, atol=1e-5)

@@ -56,8 +56,12 @@ def main():
     )
     configs = [
         tuple(int(t) for t in c.split("x"))
+        # the default sweep reproduces the WHOLE measured table in
+        # flash_attention.py's docstring, including the 256/512 rows
+        # that set the crossover threshold (round-4 advisor finding)
         for c in os.environ.get(
-            "INFODIFF_FAB_CONFIGS", "1024x128,2048x64,4096x32"
+            "INFODIFF_FAB_CONFIGS",
+            "256x128,512x128,1024x128,2048x64,4096x32",
         ).split(",")
     ]
 

@@ -79,6 +79,12 @@ def main():
           f"backend {jax.default_backend()}")
 
     programs = os.environ.get("INFODIFF_MEMREPORT_PROGRAMS", "both")
+    if programs not in ("both", "train", "sampler"):
+        # a typo (e.g. 'sample') must not silently skip a report
+        raise SystemExit(
+            f"INFODIFF_MEMREPORT_PROGRAMS={programs!r}: expected one of "
+            "'both', 'train', 'sampler'"
+        )
 
     # --- train step (donated buffers, the production configuration) ---
     if programs in ("both", "train"):
