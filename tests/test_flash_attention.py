@@ -203,21 +203,62 @@ def test_flash_gate_refuses_under_mesh(monkeypatch):
         assert flash_enabled(1024) == expect  # scope restores
 
 
+def _run_on_tpu(code: str) -> str:
+    """conftest pins the suite to the CPU backend; hardware smokes run
+    the snippet in a subprocess with the axon TPU platform restored
+    (same pattern as test_qconv's TPU tests)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=1800,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    return out.stdout
+
+
+_TPU_PRELUDE = """
+import jax, jax.numpy as jnp, jax.random as jr, numpy as np
+from infodiffusion_tpu.cache import enable_compilation_cache
+enable_compilation_cache()
+assert jax.default_backend() == "tpu"
+from infodiffusion_tpu.ops.attention import _attention_xla
+from infodiffusion_tpu.ops.pallas.flash_attention import flash_attention
+"""
+
+
 @pytest.mark.skipif(
     os.environ.get("INFODIFF_TPU_TESTS") != "1",
     reason="opt-in TPU hardware smoke (INFODIFF_TPU_TESTS=1)",
 )
 def test_flash_tpu_hardware_grads():
-    """Compiled backward kernel on real hardware vs the dense grad."""
-    rng = np.random.RandomState(14)
-    q, k, v = _qkv(rng, 2, 1024, 128, jnp.bfloat16)
-    got = _grad_scalar(flash_attention, q, k, v)
-    want = _grad_scalar(_attention_xla, q, k, v)
-    for g, w, name in zip(got, want, "qkv"):
-        np.testing.assert_allclose(
-            np.asarray(g, np.float32), np.asarray(w, np.float32),
-            atol=0.15, rtol=0.1, err_msg=f"d{name} mismatch",
-        )
+    """Compiled backward kernel on real hardware vs the dense grad
+    (the round-4 VERDICT defect's done-criterion)."""
+    out = _run_on_tpu(
+        _TPU_PRELUDE
+        + """
+q = jr.normal(jr.PRNGKey(0), (2, 1024, 128), jnp.bfloat16)
+k = jr.normal(jr.PRNGKey(1), (2, 1024, 128), jnp.bfloat16)
+v = jr.normal(jr.PRNGKey(2), (2, 1024, 128), jnp.bfloat16)
+def loss_of(fn):
+    def loss(q_, k_, v_):
+        o = fn(q_, k_, v_)
+        w = jnp.arange(o.size, dtype=jnp.float32).reshape(o.shape)
+        return jnp.sum(o.astype(jnp.float32) * jnp.sin(w))
+    return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+got = loss_of(flash_attention)(q, k, v)
+want = loss_of(_attention_xla)(q, k, v)
+for g, w, name in zip(got, want, "qkv"):
+    g = np.asarray(g, np.float32); w = np.asarray(w, np.float32)
+    np.testing.assert_allclose(g, w, atol=0.15, rtol=0.1,
+                               err_msg="d" + name)
+print("FLASH_GRADS_TPU_OK")
+"""
+    )
+    assert "FLASH_GRADS_TPU_OK" in out
 
 
 @pytest.mark.skipif(
@@ -225,11 +266,16 @@ def test_flash_tpu_hardware_grads():
     reason="opt-in TPU hardware smoke (INFODIFF_TPU_TESTS=1)",
 )
 def test_flash_tpu_hardware_parity():
-    rng = np.random.RandomState(4)
-    q, k, v = _qkv(rng, 2, 4096, 128, jnp.bfloat16)
-    got = flash_attention(q, k, v)
-    want = _attention_xla(q, k, v)
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want, np.float32),
-        atol=3e-2, rtol=3e-2,
+    out = _run_on_tpu(
+        _TPU_PRELUDE
+        + """
+q = jr.normal(jr.PRNGKey(4), (2, 4096, 128), jnp.bfloat16)
+k = jr.normal(jr.PRNGKey(5), (2, 4096, 128), jnp.bfloat16)
+v = jr.normal(jr.PRNGKey(6), (2, 4096, 128), jnp.bfloat16)
+got = np.asarray(flash_attention(q, k, v), np.float32)
+want = np.asarray(_attention_xla(q, k, v), np.float32)
+np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+print("FLASH_FWD_TPU_OK")
+"""
     )
+    assert "FLASH_FWD_TPU_OK" in out
