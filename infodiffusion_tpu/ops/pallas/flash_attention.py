@@ -76,6 +76,21 @@ backward envelope (f32 dk+dv accumulators over ``_ACC_BUDGET``) the
 VJP falls back to the dense XLA gradient — correct, just logits-in-HBM
 at those sizes. Grad parity vs the XLA path is pinned in
 tests/test_flash_attention.py (interpret f32/bf16 + TPU smoke).
+
+MEASURED, fwd+bwd (v5e, INFODIFF_FAB_GRAD=1 tools/flash_attn_bench.py:
+value+grad of a scalar through the op — flash takes this kernel, dense
+takes XLA autodiff; bf16, C=128, same variance-controlled discipline
+as the forward table, all rows significant):
+
+    N     B    XLA ms   flash ms   speedup
+    512   128   1.604     0.872      1.84x
+    1024  128   7.480     3.995      1.87x
+    4096   32  32.811    11.543      2.84x
+
+End-to-end the backward converts too: the 128px b64 TRAIN step
+measures 173.9 imgs/s with flash vs 161.8 with
+INFODIFF_DISABLE_FLASH_ATTENTION=1 (+7.5%), and 256px training
+(N=4096) runs at 37.3 imgs/s b16 through this backward.
 """
 
 from __future__ import annotations

@@ -18,9 +18,14 @@ Prints one JSON line per (N, B) config:
 (..._ms are per-invocation milliseconds = dispatch_time / inner.)
 
 Env: INFODIFF_FAB_REPS (default 9), INFODIFF_FAB_CONFIGS
-(default "1024x128,2048x64,4096x32" as NxB pairs — batch scaled down
-with N to keep the logits footprint sane), INFODIFF_FAB_DTYPE
-(default bf16 — the policy dtype at every attention site).
+(default "256x128,512x128,1024x128,2048x64,4096x32" as NxB pairs —
+batch scaled down with N to keep the logits footprint sane; the
+default reproduces the full measured table in flash_attention.py's
+docstring), INFODIFF_FAB_DTYPE (default bf16 — the policy dtype at
+every attention site), INFODIFF_FAB_GRAD=1 to time the BACKWARD
+instead (value+grad of a scalar through the op: the flash custom_vjp
+Pallas kernel vs XLA autodiff of the dense path — the round-5
+training-path evidence).
 """
 
 from __future__ import annotations
@@ -65,8 +70,10 @@ def main():
         ).split(",")
     ]
 
+    grad_mode = os.environ.get("INFODIFF_FAB_GRAD") == "1"
+
     for N, B in configs:
-        flops = 4 * B * N * N * C
+        flops = (4 if not grad_mode else 14) * B * N * N * C
         # enough work per dispatch to amortize ~30 ms tunnel dispatch
         inner = max(8, int(3e12 / flops))
         q = jr.normal(jr.PRNGKey(0), (B, N, C), dtype)
@@ -74,15 +81,33 @@ def main():
         v = jr.normal(jr.PRNGKey(2), (B, N, C), dtype)
 
         def run(fn):
+            if grad_mode:
+                # fwd + bwd: grads w.r.t. q/k/v of a scalar through the
+                # op — flash takes its custom_vjp Pallas backward, the
+                # dense path takes XLA autodiff (logits strip round-trips
+                # HBM twice more in the backward)
+                def scalar(q_, k_, v_):
+                    return jnp.sum(fn(q_, k_, v_).astype(jnp.float32))
+
+                g = jax.grad(scalar, argnums=(0, 1, 2))
+
+                def invoke(q_, k_, v_):
+                    dq, dk, dv = g(q_, k_, v_)
+                    return (
+                        jnp.sum(dq.astype(jnp.float32))
+                        + jnp.sum(dk.astype(jnp.float32))
+                        + jnp.sum(dv.astype(jnp.float32))
+                    )
+            else:
+                def invoke(q_, k_, v_):
+                    return jnp.sum(fn(q_, k_, v_).astype(jnp.float32))
+
             @jax.jit
             def dispatch(key, q, k, v):
                 deltas = jr.uniform(key, (inner,), jnp.float32) * 1e-6
 
                 def body(d):
-                    return jnp.sum(
-                        fn((q * (1 + d).astype(dtype)), k, v)
-                        .astype(jnp.float32)
-                    )
+                    return invoke(q * (1 + d).astype(dtype), k, v)
 
                 return jnp.sum(jax.lax.map(body, deltas))
 
@@ -106,6 +131,7 @@ def main():
             json.dumps(
                 {
                     "N": N, "B": B, "C": C, "inner": inner,
+                    "grad": grad_mode,
                     "xla_ms": round(to_ms(m_x), 3),
                     "flash_ms": round(to_ms(m_f), 3),
                     "speedup": round(m_x / m_f, 3),
