@@ -56,7 +56,8 @@ def host_fingerprint() -> str:
 def _cpu_destined() -> bool:
     """Whether jitted programs in this process will compile for the
     host CPU (forced-CPU runs, the CPU test suite, the multichip
-    dryrun) rather than for the TPU behind the tunnel."""
+    dryrun, or a host whose only backend IS the CPU) rather than for
+    the TPU behind the tunnel."""
     import jax
 
     if os.environ.get("INFODIFF_FORCE_CPU"):
@@ -65,8 +66,17 @@ def _cpu_destined() -> bool:
         cfg = jax.config.jax_platforms
     except AttributeError:  # pragma: no cover
         cfg = None
-    platforms = cfg or os.environ.get("JAX_PLATFORMS", "")
-    return "cpu" in str(platforms).split(",")
+    platforms = str(cfg or os.environ.get("JAX_PLATFORMS", ""))
+    if platforms:
+        return "cpu" in platforms.split(",")
+    # no platform pin at all: resolve the real backend (hosts without
+    # an accelerator fall back to CPU and must still get the host-keyed
+    # dir — the cost is initializing the backend here, which every
+    # caller does moments later anyway)
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover — backend init failure
+        return False
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
@@ -74,9 +84,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
     ~/.cache/infodiff_xla, override INFODIFF_COMPILE_CACHE). CPU-
     destined processes get a per-host-feature subdirectory (see
     host_fingerprint) — TPU entries stay shared, because those
-    executables target the chip, not the host. Safe to call again
-    after switching platforms (dryrun_multichip does): jax re-points
-    the cache on config update."""
+    executables target the chip, not the host.
+
+    Call-again semantics: jax latches the cache object at the first
+    compile (jax._src.compilation_cache._initialize_cache), so a bare
+    config update after that is silently ignored; this function also
+    resets the latch (guarded — private API) so re-pointing after a
+    platform switch (dryrun_multichip does this before its first
+    compile anyway) actually takes effect."""
     import jax
 
     cache_dir = path or os.environ.get(
@@ -91,3 +106,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these flags: non-fatal
+    try:  # un-latch an already-initialized cache so the new dir is live
+        from jax._src import compilation_cache as _cc
+
+        if getattr(_cc, "_cache_initialized", False):
+            _cc.reset_cache()
+    except Exception:
+        pass  # private API drifted: the config update above still
+        # covers every caller that re-points before the first compile

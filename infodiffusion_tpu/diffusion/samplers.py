@@ -222,31 +222,52 @@ def strided_ddim_loop(
 # ---------------------------------------------------------------------------
 
 
-def _shard_for_mesh(mesh, params, batch_arrays):
-    """Shard sampling batches over the mesh's data axis and replicate
-    params; no-op when mesh is None or the batch doesn't divide the
-    axis. Eval-time batch parallelism the reference (single-GPU) lacks."""
+def _mesh_will_shard(mesh, batch_arrays, warn=False):
+    """Whether _shard_for_mesh will actually shard (mesh has a 'data'
+    axis and every batch divides it). Also the key for the trace-time
+    kernel gate: the mesh_compute_scope must track what the TRACE sees
+    — scoping on the mesh object alone would disable the default-ON
+    flash kernel even when the fallback runs a plain single-placement
+    program (round-5 review finding)."""
     if mesh is None or "data" not in mesh.shape:
         # meshes without a 'data' axis (e.g. the 1-D 'seq'/'stage'
         # meshes) have nothing to shard batches over — fall back rather
         # than build a PartitionSpec on a nonexistent axis
-        return params, batch_arrays
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    # batches shard over the 'data' axis only (the 'model' axis, when
-    # >1, carries tensor-parallel weight shards — not batch shards)
+        return False
     n = int(mesh.shape.get("data", 1))
     sizes = [a.shape[0] for a in batch_arrays if a is not None]
     if not sizes or any(s % n for s in sizes):
-        if n > 1 and sizes:
+        if warn and n > 1 and sizes:
             warnings.warn(
                 f"sampling batch sizes {sorted(set(sizes))} do not divide "
                 f"the {n}-way 'data' mesh axis; falling back to "
                 "single-device eval sampling (pad or resize the batch to "
                 f"a multiple of {n} to shard it)",
-                stacklevel=3,
+                stacklevel=4,
             )
+        return False
+    return True
+
+
+def _spans_devices(x) -> bool:
+    """True when ``x`` is a jax.Array laid out across >1 device (the
+    given-input entry points gate the default-ON kernels on this)."""
+    try:
+        return len(x.devices()) > 1
+    except Exception:  # numpy / tracer / older jax: single-placement
+        return False
+
+
+def _shard_for_mesh(mesh, params, batch_arrays):
+    """Shard sampling batches over the mesh's data axis and replicate
+    params; no-op when mesh is None or the batch doesn't divide the
+    axis. Eval-time batch parallelism the reference (single-GPU) lacks."""
+    if not _mesh_will_shard(mesh, batch_arrays, warn=True):
         return params, batch_arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # batches shard over the 'data' axis only (the 'model' axis, when
+    # >1, carries tensor-parallel weight shards — not batch shards)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     params = jax.device_put(params, repl)
@@ -422,12 +443,15 @@ class DiffusionProcess:
             xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
         if self.is_conditional and a is None:
             a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
-        params, (xT, a) = _shard_for_mesh(self.mesh, self.params, [xT, a])
         # trace-time kernel gate: default-ON pallas kernels fall back to
-        # the GSPMD-partitioned XLA paths under a non-trivial mesh
+        # the GSPMD-partitioned XLA paths when the trace is actually
+        # sharded (scope None on the indivisible-batch fallback, whose
+        # program is plain single-placement)
         from infodiffusion_tpu.ops.gating import mesh_compute_scope
 
-        with mesh_compute_scope(self.mesh):
+        scope = self.mesh if _mesh_will_shard(self.mesh, [xT, a]) else None
+        params, (xT, a) = _shard_for_mesh(self.mesh, self.params, [xT, a])
+        with mesh_compute_scope(scope):
             if num_steps is not None:
                 return self._jit_strided(
                     params, xT, a, k_s, num_steps=num_steps
@@ -435,7 +459,16 @@ class DiffusionProcess:
             return self._jit_sample(params, xT, a, k_s)
 
     def reverse_sampling(self, x0, a=None, key=None):
-        return self._jit_reverse(self.params, x0, a, key)
+        # callers may hand in mesh-sharded x0 (e.g. reusing a sharded
+        # sampling output) — gate the default-ON kernels exactly like
+        # the forward path (round-5 review finding); keyed on x0's
+        # actual device span, since this entry point never shards
+        # anything itself
+        from infodiffusion_tpu.ops.gating import mesh_compute_scope
+
+        scope = self.mesh if _spans_devices(x0) else None
+        with mesh_compute_scope(scope):
+            return self._jit_reverse(self.params, x0, a, key)
 
 
 class TwoPhaseDiffusionProcess:
@@ -516,15 +549,21 @@ class TwoPhaseDiffusionProcess:
             xT = jr.normal(k_x, (sampling_number,) + self.data_shape)
         if a is None:
             a = jr.normal(k_a, (xT.shape[0], self.cfg.a_dim))
-        params1, (xT, a) = _shard_for_mesh(self.mesh, self.params1, [xT, a])
-        params2, _ = _shard_for_mesh(self.mesh, self.params2, [xT])
         from infodiffusion_tpu.ops.gating import mesh_compute_scope
 
-        with mesh_compute_scope(self.mesh):
+        scope = self.mesh if _mesh_will_shard(self.mesh, [xT, a]) else None
+        params1, (xT, a) = _shard_for_mesh(self.mesh, self.params1, [xT, a])
+        params2, _ = _shard_for_mesh(self.mesh, self.params2, [xT])
+        with mesh_compute_scope(scope):
             return self._jit_sample(params1, params2, xT, a, k_s)
 
     def reverse_sampling(self, x0, a=None, key=None):
-        return self._jit_reverse(self.params1, x0, a, key)
+        # same device-span kernel gate as DiffusionProcess.reverse_sampling
+        from infodiffusion_tpu.ops.gating import mesh_compute_scope
+
+        scope = self.mesh if _spans_devices(x0) else None
+        with mesh_compute_scope(scope):
+            return self._jit_reverse(self.params1, x0, a, key)
 
 
 class LatentDiffusionProcess:
@@ -697,11 +736,12 @@ class LatentDiffusionProcess:
         k_x, k_s = jr.split(key)
         if xT is None:
             xT = jr.normal(k_x, (sampling_number, self.cfg.a_dim))
+        # no mesh_compute_scope here: the latent path has no attention
+        # site and already forces the XLA scan under a mesh (the fused
+        # trajectory kernel is excluded at construction when mesh is
+        # not None), so there is no default-ON kernel to gate
         params, (xT,) = _shard_for_mesh(self.mesh, self.params, [xT])
-        from infodiffusion_tpu.ops.gating import mesh_compute_scope
-
-        with mesh_compute_scope(self.mesh):
-            return self._jit_sample(params, xT, k_s)
+        return self._jit_sample(params, xT, k_s)
 
     def reverse_sampling(self, x0):
         return self._jit_reverse(self.params, x0)

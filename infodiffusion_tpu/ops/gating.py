@@ -39,13 +39,19 @@ import os
 import jax
 
 # Process-global record of the mesh the surrounding program is sharded
-# over (samplers' mesh path, the runner's dp/fsdp/tp train step). The
-# default-ON kernels consult it: a pallas_call traced under a GSPMD-
-# sharded jit is NOT validated to partition over the mesh (it may
-# replicate or fail), so kernels refuse when a non-trivial mesh is
-# active and the XLA path — which GSPMD partitions natively — runs
-# instead. Same process-global pattern as parallel/sp.py (round-4
-# advisor finding on flash attention under sharded sampling).
+# over (samplers' mesh path, the runner's dp/fsdp/tp train step). A
+# pallas_call traced under a GSPMD-sharded jit is NOT validated to
+# partition over the mesh (it may replicate or fail), so a default-ON
+# kernel must check active_mesh_size() in its own gate and refuse when
+# a non-trivial mesh is active — the XLA path, which GSPMD partitions
+# natively, runs instead. Currently flash_attention.flash_enabled is
+# the ONLY consumer: the other default-ON kernel (the whole-trajectory
+# latent sampler) is excluded at construction when a mesh is present
+# (LatentDiffusionProcess: mesh path = XLA scan), not via this scope.
+# A new default-ON kernel must add its own active_mesh_size() check —
+# the scope alone protects nothing. Same process-global pattern as
+# parallel/sp.py (round-4 advisor finding on flash attention under
+# sharded sampling).
 _MESH_STATE = {"size": 1}
 
 

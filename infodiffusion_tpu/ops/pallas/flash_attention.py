@@ -261,14 +261,16 @@ def _fwd_call(q, k, v, bq: int, interpret: bool):
     )(q, k, v)
 
 
-def _bwd_call(q, k, v, do, interpret: bool):
+def _bwd_call(q, k, v, do, interpret: bool, block_q: int | None = None):
     """Pallas backward; raises NotImplementedError outside the
-    accumulator envelope (the caller falls back to the dense VJP)."""
+    accumulator envelope (the caller falls back to the dense VJP).
+    ``block_q`` overrides the q-tile size (tests force multi-tile
+    dk/dv accumulation with it; production uses the picker)."""
     B, N, C = q.shape
     itemsize = jnp.dtype(q.dtype).itemsize
     if 2 * N * C * 4 > _ACC_BUDGET:
         raise NotImplementedError("f32 dk/dv accumulators exceed VMEM plan")
-    bq = _pick_block_q_bwd(N, C)
+    bq = block_q or _pick_block_q_bwd(N, C)
     if N % bq != 0:
         raise NotImplementedError("token count not divisible by q tile")
     scale = float(C) ** -0.5

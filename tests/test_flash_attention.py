@@ -146,7 +146,9 @@ def test_flash_grads_match_xla_bf16():
 
 def test_flash_grads_tile_invariant():
     """dk/dv accumulate across q tiles; more tiles must not change the
-    gradient."""
+    gradient. block_q here only varies the FORWARD tiling (the VJP
+    re-picks its own tile) — the backward's multi-tile accumulation is
+    exercised directly in test_flash_bwd_multi_tile_accumulation."""
     rng = np.random.RandomState(12)
     q, k, v = _qkv(rng, 2, 256, 64)
     tiled = _grad_scalar(flash_attention, q, k, v, block_q=32,
@@ -156,6 +158,32 @@ def test_flash_grads_tile_invariant():
     for g_t, g_w in zip(tiled, whole):
         np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_w),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bwd_multi_tile_accumulation():
+    """The riskiest mechanism in the backward kernel — the
+    pl.when(i==0) zero-init + revisited-block `+=` accumulation of
+    dk/dv across q tiles — exercised with FORCED multi-tile backward
+    tilings (the automatic picker chooses one tile at CPU-test shapes,
+    so without the override this path would only run in the opt-in
+    hardware smoke)."""
+    rng = np.random.RandomState(15)
+    q, k, v = _qkv(rng, 2, 256, 64)
+    do = jnp.asarray(rng.randn(2, 256, 64), jnp.float32)
+    whole = fa._bwd_call(q, k, v, do, interpret=True, block_q=256)
+    for bq in (32, 64, 128):
+        tiled = fa._bwd_call(q, k, v, do, interpret=True, block_q=bq)
+        for g_t, g_w, name in zip(tiled, whole, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(g_t), np.asarray(g_w), atol=2e-5, rtol=2e-5,
+                err_msg=f"{name} differs at block_q={bq}",
+            )
+    # and against the dense-XLA gradient, not just self-consistency
+    dense = fa._dense_vjp(q, k, v, do)
+    for g_t, g_d in zip(fa._bwd_call(q, k, v, do, interpret=True,
+                                     block_q=32), dense):
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_d),
+                                   atol=5e-4, rtol=5e-4)
 
 
 def test_flash_bwd_envelope_falls_back_dense(monkeypatch):
