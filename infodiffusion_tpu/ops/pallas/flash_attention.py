@@ -13,14 +13,19 @@ Shape strategy (differs from the round-1 whole-[N,N] kernel in
 ops/pallas/attention.py, which requires the full logits square to fit
 in VMEM and therefore caps at N≈1.5k): one grid step owns a [BQ, C]
 query tile; the WHOLE [N, C] k and v ride in VMEM (C=128 at every
-reference attention site, so k+v in bf16 are 0.5 MB at N=1024, 2 MB at
-N=4096, and hit the 8 MB ``_KV_BUDGET`` exactly at the N=16384
-envelope edge — still an order below the [N,N] square), and the
-[BQ, N] logits strip lives only in registers/VMEM scratch of that
-step. At the envelope edge the resident plan (k+v 8 MB + 4 MB strip +
-q/o tiles) peaks near ~12 MB of the ~16 MB/core VMEM — tight by
-design there; at the flagship beyond-reference sites (N ≤ 4096) it is
-≤ 6 MB with ample double-buffering headroom. Softmax is computed on
+reference attention site, so k+v in bf16 are 0.5 MB at N=1024 and
+2 MB at N=4096 — an order below the [N,N] square), and the [BQ, N]
+logits strip lives only in registers/VMEM scratch of that step.
+Envelope (measured, round 5): because k/v vary along the OUTER batch
+grid dimension, Mosaic double-buffers them, so the scoped-VMEM plan
+is 2·(k+v) + strip + q/o tiles. At N=16384 that is 16.06 MB against
+the 16.00 MB core limit — the 512px probe failed compile with exactly
+that message — so the envelope tops out at N=8192 (plan ≈ 12.1 MB)
+and the gate raises NotImplementedError above it; at the
+beyond-reference sites actually in use (N ≤ 4096) the plan is ≤ 8.3 MB
+with ample headroom. 512px-class single-chip attention would need a
+k/v-tiled online-softmax variant (or multi-chip --sp ring attention,
+which exists). Softmax is computed on
 the full row strip — no online-rescaling pass is needed because the
 row is complete inside the step, which keeps the kernel a
 straight-line matmul -> softmax -> matmul at f32 statistics precision,
@@ -107,11 +112,23 @@ from jax.experimental.pallas import tpu as pltpu
 # strip + k + v + q/o tiles stay inside ~16 MB/core (see the docstring
 # for the plan arithmetic at the envelope edge)
 _LOGITS_BUDGET = 4 * 1024 * 1024
-# k and v ride whole; bound their combined VMEM footprint
-_KV_BUDGET = 8 * 1024 * 1024
+# k and v ride whole — but they VARY along the outer (batch) grid
+# dimension, so Mosaic's revolving-buffer pipeline allocates TWO
+# buffers for each; the scoped-VMEM plan must count them twice.
+# Measured (round 5, the 512px probe): N=16384 C=128 bf16 (k+v 8 MB)
+# fails compile with "Scoped allocation with size 16.06M and limit
+# 16.00M" — exactly 2x(k+v) + the q/o tiles. The forward plan is
+# therefore 2*(k+v) + strip + tiles <= this limit (N<=8192 at the
+# C=128 bf16 sites; N=4096, the 256px grid, is hardware-proven).
+_FWD_PLAN_LIMIT = 15 * 1024 * 1024 + 512 * 1024
 # backward: the f32 dk+dv accumulators also ride whole per batch
-# element; beyond this the VJP falls back to the dense XLA gradient
+# element (and also double-buffer — they are revisited output windows
+# that move with b); beyond this the VJP falls back to the dense XLA
+# gradient. The N=4096 backward plan (2*kv 4 MB + 2*acc 8 MB + 3
+# strips 3 MB ~= 15 MB by this model) is hardware-proven by the
+# fwd+bwd kernel bench; N=8192 (2*acc alone = 16 MB) is not plannable.
 _ACC_BUDGET = 8 * 1024 * 1024
+_BWD_PLAN_LIMIT = 16 * 1024 * 1024
 
 
 def flash_min_tokens() -> int:
@@ -229,11 +246,17 @@ def _bwd_kernel(
     dv_ref[0] += dv_c
 
 
-def _check_envelope(q) -> None:
+def _check_envelope(q, bq: int) -> None:
     B, N, C = q.shape
     itemsize = jnp.dtype(q.dtype).itemsize
-    if 2 * N * C * itemsize > _KV_BUDGET:
-        raise NotImplementedError("k/v exceed the whole-tensor VMEM plan")
+    kv = 2 * N * C * itemsize  # k + v, whole
+    strip = bq * N * 4  # the on-core f32 logits strip
+    tiles = 4 * bq * C * itemsize  # q + o tiles, double-buffered
+    if 2 * kv + strip + tiles > _FWD_PLAN_LIMIT:
+        raise NotImplementedError(
+            "flash plan exceeds scoped VMEM (k/v double-buffer across "
+            "the batch grid dim — see _FWD_PLAN_LIMIT)"
+        )
 
 
 def _fwd_call(q, k, v, bq: int, interpret: bool):
@@ -273,6 +296,13 @@ def _bwd_call(q, k, v, do, interpret: bool, block_q: int | None = None):
     bq = block_q or _pick_block_q_bwd(N, C)
     if N % bq != 0:
         raise NotImplementedError("token count not divisible by q tile")
+    # full backward plan with the double-buffered k/v and dk/dv (see
+    # the budget comments at the top of the module)
+    kv = 2 * N * C * itemsize
+    acc = 2 * N * C * 4
+    strips = 3 * bq * N * 4
+    if 2 * kv + 2 * acc + strips > _BWD_PLAN_LIMIT:
+        raise NotImplementedError("flash backward plan exceeds scoped VMEM")
     scale = float(C) ** -0.5
     q_spec = pl.BlockSpec(
         (1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -355,8 +385,8 @@ def flash_attention(
     shapes outside the kernel's envelope (caller falls back to XLA).
     Differentiable: see the module docstring for the VJP kernel."""
     B, N, C = q.shape
-    _check_envelope(q)
     bq = block_q or _pick_block_q(N, C)
     if N % bq != 0:
         raise NotImplementedError("token count not divisible by q tile")
+    _check_envelope(q, bq)
     return _flash(q, k, v, bq, interpret)

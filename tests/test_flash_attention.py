@@ -73,6 +73,15 @@ def test_flash_envelope_fallbacks():
     q, k, v = _qkv(rng, 1, 32768, 64)
     with pytest.raises(NotImplementedError):
         flash_attention(q, k, v, interpret=True)
+    # the measured 512px edge: N=16384 C=128 bf16 plans at 16.06 MB
+    # against the 16 MB scoped-VMEM core limit (k/v double-buffer
+    # across the batch grid dim) — must refuse BEFORE Mosaic OOMs
+    q = jnp.zeros((1, 16384, 128), jnp.bfloat16)
+    with pytest.raises(NotImplementedError):
+        flash_attention(q, q, q, interpret=True)
+    # N=8192 bf16 (plan ~12.1 MB) stays inside the envelope
+    fa._check_envelope(jnp.zeros((1, 8192, 128), jnp.bfloat16),
+                       fa._pick_block_q(8192, 128))
     # indivisible token count
     q, k, v = _qkv(rng, 1, 96, 32)
     with pytest.raises(NotImplementedError):
