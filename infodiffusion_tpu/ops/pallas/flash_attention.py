@@ -20,8 +20,9 @@ Envelope (measured, round 5): because k/v vary along the OUTER batch
 grid dimension, Mosaic double-buffers them, so the scoped-VMEM plan
 is 2·(k+v) + strip + q/o tiles. At N=16384 that is 16.06 MB against
 the 16.00 MB core limit — the 512px probe failed compile with exactly
-that message — so the envelope tops out at N=8192 (plan ≈ 12.1 MB)
-and the gate raises NotImplementedError above it; at the
+that message — so the envelope tops out at N=8192 (plan ≈ 12.1 MB —
+hardware-verified: compiles and matches XLA to 1 bf16 ulp at
+B=1 N=8192 C=128) and the gate raises NotImplementedError above it; at the
 beyond-reference sites actually in use (N ≤ 4096) the plan is ≤ 8.3 MB
 with ample headroom. 512px-class single-chip attention would need a
 k/v-tiled online-softmax variant (or multi-chip --sp ring attention,
