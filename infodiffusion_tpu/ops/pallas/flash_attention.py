@@ -373,6 +373,154 @@ def _flash_bwd(bq: int, interpret: bool, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Online-softmax variant for N beyond the whole-k/v envelope (>8192)
+# ---------------------------------------------------------------------------
+#
+# The classic flash-attention recurrence: k/v stream through VMEM in
+# [BK, C] tiles along the innermost grid dimension while running
+# (max, sum, accumulator) statistics live in VMEM scratch —
+#     m'   = max(m, rowmax(s_j))
+#     corr = exp(m - m')
+#     l'   = l * corr + rowsum(exp(s_j - m'))
+#     acc' = acc * corr + exp(s_j - m') @ v_j
+# so VMEM holds only the tiles (~1-2 MB regardless of N) and the
+# envelope is bounded by HBM, not the 16 MB core. This trades the
+# primary kernel's single straight-line softmax for a per-tile
+# rescaling pass, so it routes ONLY where the primary cannot plan
+# (N > 8192): at 512px (N=16384) the dense path would need a
+# [N, N] f32 logits square = 1 GB per batch element and the primary
+# kernel's plan measures 16.06 MB > the 16 MB core limit, making this
+# the only single-chip route to 512px-class attention. Backward: the
+# same custom_vjp rules as the primary (whole-k/v backward kernel when
+# it fits, dense VJP otherwise) — at N=16384 that means the dense
+# gradient's HBM cost, so this variant is an inference-scale envelope,
+# not a training one.
+
+_ONLINE_BQ = 256
+_ONLINE_BK = 1024
+
+
+def _pick_online_tiles(n: int) -> tuple[int, int]:
+    bq, bk = _ONLINE_BQ, _ONLINE_BK
+    while bq > 8 and n % bq:
+        bq //= 2
+    while bk > 128 and n % bk:
+        bk //= 2
+    return bq, bk
+
+
+def _online_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                   *, scale: float, nj: int):
+    j = pl.program_id(2)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        # -inf max => corr = exp(-inf - m_new) = 0 wipes the stale
+        # acc/l from the previous q tile without a special case
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK] f32
+    m_prev = m_ref[...]  # [BQ, 128] lane-replicated statistics
+    l_prev = l_ref[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    p = jnp.exp(s - m_new[:, :1])
+    corr = jnp.exp(m_prev - m_new)  # [BQ, 128], lane-replicated
+    l_new = l_prev * corr + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, C] f32
+    acc_new = acc_ref[...] * corr[:, :1] + pv
+    m_ref[...] = m_new
+    l_ref[...] = l_new
+    acc_ref[...] = acc_new
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        o_ref[0] = (acc_new / l_new[:, :1]).astype(o_ref.dtype)
+
+
+def _online_fwd_call(q, k, v, bq: int, bk: int, interpret: bool):
+    B, N, C = q.shape
+    itemsize = jnp.dtype(q.dtype).itemsize
+    scale = float(C) ** -0.5
+    nj = N // bk
+    q_spec = pl.BlockSpec(
+        (1, bq, C), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, bk, C), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_online_kernel, scale=scale, nj=nj),
+        grid=(B, N // bq, nj),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, C), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * N * N * C,
+            bytes_accessed=(2 + 2 * (N // bq)) * B * N * C * itemsize,
+            transcendentals=2 * B * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_online(q, k, v, bq: int, bk: int, interpret: bool):
+    return _online_fwd_call(q, k, v, bq, bk, interpret)
+
+
+def _flash_online_fwd(q, k, v, bq: int, bk: int, interpret: bool):
+    return _online_fwd_call(q, k, v, bq, bk, interpret), (q, k, v)
+
+
+def _flash_online_bwd(bq: int, bk: int, interpret: bool, res, do):
+    q, k, v = res
+    try:
+        return _bwd_call(q, k, v, do, interpret)
+    except NotImplementedError:
+        return _dense_vjp(q, k, v, do)
+
+
+_flash_online.defvjp(_flash_online_fwd, _flash_online_bwd)
+
+
+def flash_attention_online(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Streaming-k/v flash attention; any N with divisible tiles."""
+    B, N, C = q.shape
+    bq0, bk0 = _pick_online_tiles(N)
+    bq = block_q or bq0
+    bk = block_k or bk0
+    if N % bq or N % bk:
+        raise NotImplementedError("token count not divisible by tiles")
+    return _flash_online(q, k, v, bq, bk, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
@@ -383,11 +531,16 @@ def flash_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: [B, N, C] -> [B, N, C]; raises NotImplementedError for
-    shapes outside the kernel's envelope (caller falls back to XLA).
-    Differentiable: see the module docstring for the VJP kernel."""
+    shapes outside every kernel envelope (caller falls back to XLA).
+    Differentiable: see the module docstring for the VJP kernel.
+    Beyond the whole-k/v plan (N > 8192) the streaming online-softmax
+    variant takes over (see the section comment above it)."""
     B, N, C = q.shape
     bq = block_q or _pick_block_q(N, C)
     if N % bq != 0:
         raise NotImplementedError("token count not divisible by q tile")
-    _check_envelope(q, bq)
+    try:
+        _check_envelope(q, bq)
+    except NotImplementedError:
+        return flash_attention_online(q, k, v, interpret=interpret)
     return _flash(q, k, v, bq, interpret)

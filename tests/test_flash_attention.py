@@ -69,16 +69,17 @@ def test_pick_block_q_budget_and_divisibility():
 
 def test_flash_envelope_fallbacks():
     rng = np.random.RandomState(3)
-    # k/v too big for the whole-tensor VMEM plan (f32 N*C itemsize)
-    q, k, v = _qkv(rng, 1, 32768, 64)
-    with pytest.raises(NotImplementedError):
-        flash_attention(q, k, v, interpret=True)
     # the measured 512px edge: N=16384 C=128 bf16 plans at 16.06 MB
     # against the 16 MB scoped-VMEM core limit (k/v double-buffer
-    # across the batch grid dim) — must refuse BEFORE Mosaic OOMs
-    q = jnp.zeros((1, 16384, 128), jnp.bfloat16)
+    # across the batch grid dim) — the whole-k/v plan must refuse
+    # BEFORE Mosaic OOMs (flash_attention then routes these shapes to
+    # the streaming online variant, covered by the routing test)
     with pytest.raises(NotImplementedError):
-        flash_attention(q, q, q, interpret=True)
+        fa._check_envelope(jnp.zeros((1, 16384, 128), jnp.bfloat16),
+                           fa._pick_block_q(16384, 128))
+    with pytest.raises(NotImplementedError):
+        fa._check_envelope(jnp.zeros((1, 32768, 64), jnp.float32),
+                           fa._pick_block_q(32768, 64))
     # N=8192 bf16 (plan ~12.1 MB) stays inside the envelope
     fa._check_envelope(jnp.zeros((1, 8192, 128), jnp.bfloat16),
                        fa._pick_block_q(8192, 128))
@@ -265,6 +266,77 @@ def test_flash_gate_refuses_under_mesh(monkeypatch):
         with mesh_compute_scope(meshN):
             assert not flash_enabled(1024)  # the mesh refusal itself
         assert flash_enabled(1024)  # scope restores
+
+
+@pytest.mark.parametrize("N,C,tiles", [
+    (512, 64, {}),                                # default tile picker
+    (256, 128, {"block_q": 64, "block_k": 64}),   # many tiles both ways
+    (384, 32, {"block_q": 128, "block_k": 128}),  # non-power-of-two N
+])
+def test_flash_online_interpret_matches_xla_f32(N, C, tiles):
+    """The streaming online-softmax variant (k/v tiled, running
+    max/sum/acc rescaling in scratch) vs the dense path."""
+    rng = np.random.RandomState(20)
+    q, k, v = _qkv(rng, 2, N, C)
+    got = fa.flash_attention_online(q, k, v, interpret=True, **tiles)
+    want = _attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_online_interpret_matches_xla_bf16():
+    rng = np.random.RandomState(21)
+    q, k, v = _qkv(rng, 2, 512, 128, jnp.bfloat16)
+    got = fa.flash_attention_online(q, k, v, interpret=True,
+                                    block_q=128, block_k=128)
+    want = _attention_xla(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_flash_online_grads_match_xla():
+    """The online variant shares the primary's VJP rules (whole-k/v
+    backward kernel when it fits, dense fallback otherwise)."""
+    rng = np.random.RandomState(22)
+    q, k, v = _qkv(rng, 2, 256, 64)
+    got = _grad_scalar(
+        lambda q_, k_, v_: fa.flash_attention_online(
+            q_, k_, v_, interpret=True, block_q=64, block_k=64
+        ), q, k, v,
+    )
+    want = _grad_scalar(_attention_xla, q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-4, rtol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_routes_online_beyond_plan_limit(monkeypatch):
+    """flash_attention hands shapes the whole-k/v plan cannot hold to
+    the streaming variant instead of raising."""
+    rng = np.random.RandomState(23)
+    # a shape no other test routes through flash_attention: its jit
+    # cache is keyed on shapes, and a cached executable would skip the
+    # traced-time envelope check this test monkeypatches
+    q, k, v = _qkv(rng, 3, 128, 32)
+    calls = {"online": 0}
+    real = fa.flash_attention_online
+
+    def counting(*a, **kw):
+        calls["online"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_attention_online", counting)
+    monkeypatch.setattr(fa, "_FWD_PLAN_LIMIT", 1)  # primary can't plan
+    got = flash_attention(q, k, v, interpret=True)
+    want = _attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    assert calls["online"] == 1
 
 
 def _run_on_tpu(code: str) -> str:
