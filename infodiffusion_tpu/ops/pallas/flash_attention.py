@@ -396,6 +396,16 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # it fits, dense VJP otherwise) — at N=16384 that means the dense
 # gradient's HBM cost, so this variant is an inference-scale envelope,
 # not a training one.
+#
+# MEASURED inside the overlap region (v5e, inner=24 lax.map reps per
+# dispatch, per-rep-varied q, value-fetch sync, median of 11):
+#     N=1024 B=128: primary 1.883±0.183 ms, online 2.027±0.137 (0.93x)
+#     N=2048 B=64 : primary 2.373±0.223 ms, online 2.853±0.332 (0.83x)
+#     N=4096 B=32 : primary 3.623±0.503 ms, online 4.093±0.168 (0.89x)
+# (none individually significant by the summed-spread rule, but the
+# sign is consistent) — the per-tile rescaling pass costs ~7-17%, so
+# the primary stays the route everywhere its plan fits and the online
+# variant takes over only beyond N=8192.
 
 _ONLINE_BQ = 256
 _ONLINE_BK = 1024
