@@ -20,13 +20,14 @@ Envelope (measured, round 5): because k/v vary along the OUTER batch
 grid dimension, Mosaic double-buffers them, so the scoped-VMEM plan
 is 2·(k+v) + strip + q/o tiles. At N=16384 that is 16.06 MB against
 the 16.00 MB core limit — the 512px probe failed compile with exactly
-that message — so the envelope tops out at N=8192 (plan ≈ 12.1 MB —
-hardware-verified: compiles and matches XLA to 1 bf16 ulp at
-B=1 N=8192 C=128) and the gate raises NotImplementedError above it; at the
-beyond-reference sites actually in use (N ≤ 4096) the plan is ≤ 8.3 MB
-with ample headroom. 512px-class single-chip attention would need a
-k/v-tiled online-softmax variant (or multi-chip --sp ring attention,
-which exists). Softmax is computed on
+that message — so this PRIMARY kernel tops out at N=8192 (plan
+≈ 12.1 MB — hardware-verified: compiles and matches XLA to 1 bf16 ulp
+at B=1 N=8192 C=128); at the beyond-reference sites actually in use
+(N ≤ 4096) the plan is ≤ 8.3 MB with ample headroom. Beyond N=8192
+``flash_attention`` auto-routes to the streaming online-softmax
+variant further down this module (k/v tiled, VMEM-use independent of
+N — it unlocked 512px sampling); multi-chip --sp ring attention also
+exists for that regime. Softmax is computed on
 the full row strip — no online-rescaling pass is needed because the
 row is complete inside the step, which keeps the kernel a
 straight-line matmul -> softmax -> matmul at f32 statistics precision,
@@ -502,11 +503,10 @@ def _flash_online_fwd(q, k, v, bq: int, bk: int, interpret: bool):
 
 
 def _flash_online_bwd(bq: int, bk: int, interpret: bool, res, do):
-    q, k, v = res
-    try:
-        return _bwd_call(q, k, v, do, interpret)
-    except NotImplementedError:
-        return _dense_vjp(q, k, v, do)
+    # identical VJP routing to the primary kernel (whole-k/v backward
+    # when it fits, dense fallback) — delegate so a future rule change
+    # cannot diverge between the two variants
+    return _flash_bwd(bq, interpret, res, do)
 
 
 _flash_online.defvjp(_flash_online_fwd, _flash_online_bwd)
@@ -543,14 +543,25 @@ def flash_attention(
     """q, k, v: [B, N, C] -> [B, N, C]; raises NotImplementedError for
     shapes outside every kernel envelope (caller falls back to XLA).
     Differentiable: see the module docstring for the VJP kernel.
-    Beyond the whole-k/v plan (N > 8192) the streaming online-softmax
-    variant takes over (see the section comment above it)."""
+
+    Contract for ``block_q``: an EXPLICIT block_q pins the primary
+    whole-k/v kernel with that tile — if the primary cannot serve it
+    (indivisible tokens or over-envelope), the call raises rather than
+    silently ignoring the override. With block_q=None (the product
+    path) any primary refusal auto-routes to the streaming
+    online-softmax variant (which picks its own tiles; see the
+    section comment above it)."""
     B, N, C = q.shape
+    explicit = block_q is not None
     bq = block_q or _pick_block_q(N, C)
     if N % bq != 0:
+        if not explicit:
+            return flash_attention_online(q, k, v, interpret=interpret)
         raise NotImplementedError("token count not divisible by q tile")
     try:
         _check_envelope(q, bq)
     except NotImplementedError:
-        return flash_attention_online(q, k, v, interpret=interpret)
+        if not explicit:
+            return flash_attention_online(q, k, v, interpret=interpret)
+        raise
     return _flash(q, k, v, bq, interpret)
